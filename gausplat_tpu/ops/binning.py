@@ -1,0 +1,167 @@
+"""Tile binning: expand, key, sort, segment — TPU-native.
+
+Parity targets:
+- scan (exclusive prefix sum): .../jit/kernel/scan/add/ (subgroup scan)
+- rank (tile-key expansion):   .../jit/kernel/rank/kernel.wgsl:34-114
+- radix sort:                  .../jit/kernel/sort/radix/ (8-bit LSD, stable)
+- segment (tile ranges):       .../jit/kernel/segment/kernel.2.wgsl:40-51
+
+TPU-native design (SURVEY.md section 7): the reference's device scan +
+host-readback + scatter expansion + hand-rolled radix sort + indirect
+dispatch all assume dynamic shapes and atomics. Under XLA everything is
+static-shape:
+
+- The (tile, point) expansion buffer has a *static capacity*; the dynamic
+  total is carried on-device and returned for overflow detection.
+- Expansion is a **gather**, not a scatter: entry ``e`` finds its source
+  point with a vectorized binary search over the exclusive-cumsum offsets,
+  then derives its tile coordinate from ``e - offset``. No atomics, no
+  host sync, fully parallel.
+- Sorting uses ``jax.lax.sort`` (stable) on the packed u32 key
+  ``tile_index << 16 | depth16`` — the exact bit layout of the reference,
+  so blend order (and the image) matches.
+- Tile ranges come from a masked segment-sum + cumulative sum instead of a
+  boundary-detection kernel.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import DEPTH_ORDER_OFFSET
+
+
+class BinningOutput(NamedTuple):
+    point_indices: jax.Array  # [capacity] int32, sorted by (tile, depth); P pads
+    tile_ranges: jax.Array  # [num_tiles, 2] int32 (start, end) into the above
+    total: jax.Array  # [] int32 true number of entries (may exceed capacity)
+
+
+def depth_to_order(depths: jax.Array) -> jax.Array:
+    """Map depth in [2^-2, 2^14) to a monotone 16-bit integer.
+
+    Exact reference bit trick (rank/kernel.wgsl:112-114):
+    ``(bits(depth) + ((3 << 23) + 0xc0000000)) >> 11`` with wrapping u32 add.
+    """
+    bits = jax.lax.bitcast_convert_type(depths.astype(jnp.float32), jnp.uint32)
+    return (bits + jnp.uint32(DEPTH_ORDER_OFFSET)) >> jnp.uint32(11)
+
+
+def make_point_orders(
+    depths: jax.Array,
+    tile_bounds: jax.Array,
+    tile_counts: jax.Array,
+    *,
+    tile_count_x: int,
+    capacity: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Expand each visible point into one (key, point-index) entry per
+    touched tile, at a static ``capacity``.
+
+    Returns ``(keys [capacity] uint32, point_indices [capacity] int32,
+    total [] int32)``. Padding entries have key ``0xFFFFFFFF`` and point
+    index ``P`` (one past the last point).
+    """
+    p = depths.shape[0]
+
+    # Exclusive cumsum of touched-tile counts (the reference scan kernel).
+    offsets_inc = jnp.cumsum(tile_counts, dtype=jnp.int32)
+    total = offsets_inc[-1] if p > 0 else jnp.int32(0)
+    offsets = offsets_inc - tile_counts  # exclusive
+
+    # Gather-based expansion: entry e binary-searches its source point.
+    entry_ids = jnp.arange(capacity, dtype=jnp.int32)
+    src = (
+        jnp.searchsorted(offsets_inc, entry_ids, side="right")
+        .astype(jnp.int32)
+        .clip(0, p - 1)
+    )
+    valid = entry_ids < jnp.minimum(total, jnp.int32(capacity))
+
+    local = entry_ids - offsets[src]  # rank of e within its point's tiles
+    x_max = tile_bounds[src, 0]
+    x_min = tile_bounds[src, 1]
+    y_min = tile_bounds[src, 3]
+    width = jnp.maximum(x_max - x_min, 1)
+    tile_x = x_min + local % width
+    tile_y = y_min + local // width
+    tile_index = (tile_y * tile_count_x + tile_x).astype(jnp.uint32)
+
+    keys = (tile_index << jnp.uint32(16)) | depth_to_order(depths[src]).astype(
+        jnp.uint32
+    )
+    keys = jnp.where(valid, keys, jnp.uint32(0xFFFFFFFF))
+    point_indices = jnp.where(valid, src, jnp.int32(p))
+    return keys, point_indices, total
+
+
+def sort_entries(
+    keys: jax.Array, point_indices: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Stable sort of (key, point-index) pairs by key.
+
+    Replaces the reference's 4-pass LSD radix sort with XLA's TPU sort
+    (sort/radix/mod.rs:43-155). Padding keys (0xFFFFFFFF) sort last.
+    """
+    # TPU lax.sort is fastest on int32; keys use the full u32 range, so
+    # bias to int32 order-preservingly (x ^ 0x80000000).
+    signed_keys = (keys ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+    sorted_keys, sorted_indices = jax.lax.sort(
+        (signed_keys, point_indices), dimension=0, is_stable=True, num_keys=1
+    )
+    return sorted_keys.astype(jnp.uint32) ^ jnp.uint32(0x80000000), sorted_indices
+
+
+def tile_ranges_from_keys(
+    sorted_keys: jax.Array,
+    total: jax.Array,
+    *,
+    num_tiles: int,
+) -> jax.Array:
+    """Per-tile [start, end) ranges into the sorted entry list.
+
+    Replaces the boundary-detection kernel (segment/kernel.2.wgsl:40-51)
+    with a masked per-tile count + cumsum. Empty tiles get (0, 0) — any
+    (s, s) range renders nothing, matching the reference's zero-init.
+    """
+    capacity = sorted_keys.shape[0]
+    entry_ids = jnp.arange(capacity, dtype=jnp.int32)
+    valid = entry_ids < jnp.minimum(total, jnp.int32(capacity))
+    tile_ids = jnp.where(
+        valid, (sorted_keys >> jnp.uint32(16)).astype(jnp.int32), num_tiles
+    )
+    counts = jax.ops.segment_sum(
+        valid.astype(jnp.int32), tile_ids, num_segments=num_tiles + 1
+    )[:num_tiles]
+    ends = jnp.cumsum(counts)
+    starts = ends - counts
+    return jnp.stack([starts, ends], axis=-1)
+
+
+def bin_gaussians(
+    depths: jax.Array,
+    tile_bounds: jax.Array,
+    tile_counts: jax.Array,
+    *,
+    tile_count_x: int,
+    tile_count_y: int,
+    capacity: int,
+) -> BinningOutput:
+    """Full binning pipeline: expand -> sort -> segment."""
+    keys, point_indices, total = make_point_orders(
+        depths,
+        tile_bounds,
+        tile_counts,
+        tile_count_x=tile_count_x,
+        capacity=capacity,
+    )
+    sorted_keys, sorted_indices = sort_entries(keys, point_indices)
+    ranges = tile_ranges_from_keys(
+        sorted_keys, total, num_tiles=tile_count_x * tile_count_y
+    )
+    return BinningOutput(
+        point_indices=sorted_indices, tile_ranges=ranges, total=total
+    )

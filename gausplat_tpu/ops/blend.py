@@ -1,0 +1,291 @@
+"""Vectorized alpha-blend batch math, shared by the Pallas rasterizer and
+the XLA fallback.
+
+Parity targets:
+- forward blend loop: .../jit/kernel/rasterize/kernel.wgsl:107-200
+- backward blend loop: .../jit/kernel/rasterize_backward/kernel.wgsl:124-273
+
+TPU-native reformulation. The reference blends points *sequentially* per
+pixel with data-dependent early exits (divergent control flow — natural on a
+GPU SIMT core, hostile on a TPU VPU). Here a whole batch of ``B`` points is
+blended at once against a tile's 256 pixels:
+
+- transmittance is an **exclusive masked cumulative product** of ``1 - a``
+  along the point axis;
+- the reference's "stop before transmittance drops below the floor" rule is
+  the *first crossing* of the candidate transmittance below
+  ``TRANSMITTANCE_MIN``; points at/after the first crossing are masked via a
+  cumulative product of the not-crossed indicator (sticky across batches via
+  a ``done`` flag);
+- the backward pass runs in *forward* order (no reverse traversal): the
+  "color behind point n" term is recovered as
+  ``<g, C_final> - <g, prefix_n>`` using one cumulative sum, where
+  ``C_final`` is the forward image (saved as a residual).
+
+All arrays here are laid out ``[B points (sublanes), N pixels (lanes)]`` with
+per-point data as ``[B, 1]`` columns and per-pixel data as ``[1, N]`` rows,
+matching the TPU register layout (8 x 128 VPU).
+
+Gradient convention: the conic cotangent is w.r.t. the (xx, xy, yy) triple
+as used in ``density = exp(-0.5 (cxx dx^2 + 2 cxy dx dy + cyy dy^2))``, i.e.
+the xy component is **twice** the reference's stored half-gradient
+(rasterize_backward/kernel.wgsl:249-251) — the reference contracts it with a
+symmetric matrix that double-counts the off-diagonal, so the final parameter
+gradients are identical.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import OPACITY_2D_MAX, OPACITY_2D_MIN, TRANSMITTANCE_MIN
+
+
+class EntryBlock(NamedTuple):
+    """A batch of B point entries, broadcast-ready ([B, 1] columns)."""
+
+    color: jax.Array  # [B, 3]
+    conic_xx: jax.Array  # [B, 1]
+    conic_xy: jax.Array  # [B, 1]
+    conic_yy: jax.Array  # [B, 1]
+    opacity: jax.Array  # [B, 1] outer (post-sigmoid) opacity
+    pos_x: jax.Array  # [B, 1]
+    pos_y: jax.Array  # [B, 1]
+
+    @classmethod
+    def from_rows(cls, rows: jax.Array) -> "EntryBlock":
+        """From a packed [B, >=9] block with the canonical column order
+        (r, g, b, cxx, cxy, cyy, opacity, px, py)."""
+        return cls(
+            color=rows[:, 0:3],
+            conic_xx=rows[:, 3:4],
+            conic_xy=rows[:, 4:5],
+            conic_yy=rows[:, 5:6],
+            opacity=rows[:, 6:7],
+            pos_x=rows[:, 7:8],
+            pos_y=rows[:, 8:9],
+        )
+
+
+#: Canonical packed-entry column order used across the rasterizer.
+ENTRY_COLUMNS = 9
+
+
+def _shift_down(x: jax.Array, s: int, fill: float) -> jax.Array:
+    """Shift rows down by ``s`` along axis 0, filling with ``fill``.
+
+    Built from concat+slice (static shapes) so it lowers both in Mosaic
+    (Pallas TPU) and plain XLA.
+    """
+    filler = jnp.full((s,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([filler, x[:-s]], axis=0)
+
+
+def cumprod_points(x: jax.Array) -> jax.Array:
+    """Inclusive cumulative product along axis 0 (points), log-steps."""
+    n = x.shape[0]
+    s = 1
+    while s < n:
+        x = x * _shift_down(x, s, 1.0)
+        s *= 2
+    return x
+
+
+def cumsum_points(x: jax.Array) -> jax.Array:
+    """Inclusive cumulative sum along axis 0 (points), log-steps."""
+    n = x.shape[0]
+    s = 1
+    while s < n:
+        x = x + _shift_down(x, s, 0.0)
+        s *= 2
+    return x
+
+
+def density_terms(entries: EntryBlock, pix_x: jax.Array, pix_y: jax.Array):
+    """Common density/alpha terms. ``pix_*``: [1, N]. Returns [B, N] arrays
+    (dx, dy, density, alpha, blendable)."""
+    f32 = jnp.float32
+    dx = entries.pos_x - pix_x
+    dy = entries.pos_y - pix_y
+    quad = (
+        entries.conic_xx * dx * dx
+        + f32(2.0) * entries.conic_xy * dx * dy
+        + entries.conic_yy * dy * dy
+    )
+    density = jnp.exp(f32(-0.5) * quad)
+    alpha = jnp.minimum(entries.opacity * density, f32(OPACITY_2D_MAX))
+    blendable = (density <= f32(1.0)) & (alpha >= f32(OPACITY_2D_MIN))
+    return dx, dy, density, alpha, blendable
+
+
+class ForwardState(NamedTuple):
+    """Per-pixel cross-batch carry ([1, N] rows)."""
+
+    color: jax.Array  # [3, N] accumulated RGB
+    transmittance: jax.Array  # [1, N]
+    done: jax.Array  # [1, N] bool
+    rendered_count: jax.Array  # [1, N] int32 (reference point_rendered_counts)
+
+    @classmethod
+    def initial(cls, n: int) -> "ForwardState":
+        return cls(
+            color=jnp.zeros((3, n), jnp.float32),
+            transmittance=jnp.ones((1, n), jnp.float32),
+            done=jnp.zeros((1, n), jnp.bool_),
+            rendered_count=jnp.zeros((1, n), jnp.int32),
+        )
+
+
+def forward_batch(
+    state: ForwardState,
+    entries: EntryBlock,
+    pix_x: jax.Array,
+    pix_y: jax.Array,
+    base_position: jax.Array,
+) -> ForwardState:
+    """Blend one batch of B points into N pixels (front-to-back).
+
+    ``base_position``: scalar int32, the batch's first entry position within
+    its tile's segment (for the rendered-count bookkeeping).
+    """
+    f32 = jnp.float32
+    b_pts = entries.opacity.shape[0]
+
+    _, _, _, alpha, blendable = density_terms(entries, pix_x, pix_y)
+    blendable = blendable & ~state.done
+
+    one_minus = jnp.where(blendable, f32(1.0) - alpha, f32(1.0))
+    prod_incl = cumprod_points(one_minus)
+    candidate_t = state.transmittance * prod_incl
+
+    # First crossing below the transmittance floor stops the pixel *before*
+    # blending the crossing point (rasterize/kernel.wgsl:178-185).
+    crossed = blendable & (candidate_t < f32(TRANSMITTANCE_MIN))
+    no_cross_prefix = cumprod_points(jnp.where(crossed, f32(0.0), f32(1.0)))
+    blended = blendable & (no_cross_prefix > f32(0.0))
+
+    prod_excl = _shift_down(prod_incl, 1, 1.0) if b_pts > 1 else jnp.ones_like(
+        prod_incl
+    )
+    weight = jnp.where(blended, alpha * state.transmittance * prod_excl, f32(0.0))
+
+    color = state.color + jnp.stack(
+        [jnp.sum(weight * entries.color[:, c : c + 1], axis=0) for c in range(3)]
+    )
+    batch_prod = jnp.prod(
+        jnp.where(blended, one_minus, f32(1.0)), axis=0, keepdims=True
+    )
+    transmittance = state.transmittance * batch_prod
+    done = state.done | jnp.any(crossed, axis=0, keepdims=True)
+
+    positions = base_position + jnp.arange(b_pts, dtype=jnp.int32)[:, None]
+    rendered = jnp.max(
+        jnp.where(blended, positions + 1, 0), axis=0, keepdims=True
+    )
+    rendered_count = jnp.maximum(state.rendered_count, rendered)
+
+    return ForwardState(
+        color=color,
+        transmittance=transmittance,
+        done=done,
+        rendered_count=rendered_count,
+    )
+
+
+class BackwardState(NamedTuple):
+    """Per-pixel cross-batch carry for the backward pass ([1, N] rows)."""
+
+    transmittance: jax.Array  # [1, N] running t (forward replay)
+    grad_prefix: jax.Array  # [1, N] <g, prefix color so far>
+
+    @classmethod
+    def initial(cls, n: int) -> "BackwardState":
+        return cls(
+            transmittance=jnp.ones((1, n), jnp.float32),
+            grad_prefix=jnp.zeros((1, n), jnp.float32),
+        )
+
+
+class EntryGrads(NamedTuple):
+    """Per-entry gradients for one batch ([B, ...])."""
+
+    color: jax.Array  # [B, 3]
+    conic: jax.Array  # [B, 3] (xx, xy, yy) — full xy cotangent (see module doc)
+    opacity: jax.Array  # [B, 1] w.r.t. *outer* opacity
+    pos_2d: jax.Array  # [B, 2]
+
+
+def backward_batch(
+    state: BackwardState,
+    entries: EntryBlock,
+    pix_x: jax.Array,
+    pix_y: jax.Array,
+    base_position: jax.Array,
+    grad_color: jax.Array,  # [3, N] upstream dL/d(pixel color)
+    grad_dot_final: jax.Array,  # [1, N] <g, C_final> for the pixel
+    rendered_count: jax.Array,  # [1, N] int32 from the forward pass
+) -> tuple[BackwardState, EntryGrads]:
+    """Backward of :func:`forward_batch`, in forward traversal order."""
+    f32 = jnp.float32
+    b_pts = entries.opacity.shape[0]
+
+    dx, dy, density, alpha, blendable = density_terms(entries, pix_x, pix_y)
+    positions = base_position + jnp.arange(b_pts, dtype=jnp.int32)[:, None]
+    blended = blendable & (positions < rendered_count)
+
+    one_minus = jnp.where(blended, f32(1.0) - alpha, f32(1.0))
+    prod_incl = cumprod_points(one_minus)
+    prod_excl = _shift_down(prod_incl, 1, 1.0) if b_pts > 1 else jnp.ones_like(
+        prod_incl
+    )
+    t_n = state.transmittance * prod_excl  # [B, N] transmittance before n
+    weight = jnp.where(blended, alpha * t_n, f32(0.0))
+
+    # <g, c_n> per (point, pixel).
+    g_dot_c = sum(
+        grad_color[c : c + 1, :] * entries.color[:, c : c + 1] for c in range(3)
+    )
+    grad_prefix_n = state.grad_prefix + cumsum_points(weight * g_dot_c)
+    g_dot_behind = grad_dot_final - grad_prefix_n  # <g, S_n>
+
+    # dL/d alpha'_n = t_n <g, c_n> - <g, S_n> / (1 - alpha_n)
+    # (rasterize_backward/kernel.wgsl:197-221, reformulated; see module doc).
+    d_alpha = jnp.where(
+        blended, t_n * g_dot_c - g_dot_behind / one_minus, f32(0.0)
+    )
+
+    d_density = entries.opacity * d_alpha
+    d_opacity = jnp.sum(density * d_alpha, axis=1, keepdims=True)  # [B, 1]
+
+    k = -density * d_density  # density_density_grad_n
+    d_conic = jnp.stack(
+        [
+            jnp.sum(f32(0.5) * k * dx * dx, axis=1),
+            jnp.sum(k * dx * dy, axis=1),  # full xy cotangent
+            jnp.sum(f32(0.5) * k * dy * dy, axis=1),
+        ],
+        axis=-1,
+    )  # [B, 3]
+    cd_x = entries.conic_xx * dx + entries.conic_xy * dy
+    cd_y = entries.conic_xy * dx + entries.conic_yy * dy
+    d_pos = jnp.stack(
+        [jnp.sum(k * cd_x, axis=1), jnp.sum(k * cd_y, axis=1)], axis=-1
+    )  # [B, 2]
+
+    d_color = jnp.stack(
+        [jnp.sum(weight * grad_color[c : c + 1, :], axis=1) for c in range(3)],
+        axis=-1,
+    )  # [B, 3]
+
+    new_state = BackwardState(
+        transmittance=state.transmittance
+        * jnp.prod(one_minus, axis=0, keepdims=True),
+        grad_prefix=state.grad_prefix
+        + jnp.sum(weight * g_dot_c, axis=0, keepdims=True),
+    )
+    return new_state, EntryGrads(
+        color=d_color, conic=d_conic, opacity=d_opacity, pos_2d=d_pos
+    )

@@ -1,0 +1,6 @@
+"""Rendering: camera views, render options/outputs, the compiled pipeline."""
+
+from .pipeline import render, RenderOptions, RenderOutput
+from .view import View, Views
+
+__all__ = ["RenderOptions", "RenderOutput", "View", "Views", "render"]

@@ -1,0 +1,210 @@
+"""3DGS scene representation.
+
+Parity targets:
+- Scene params + render entry points:
+  /root/reference/src/scene/gaussian_3d/mod.rs:54-275
+- Inner/outer property transforms:
+  /root/reference/src/scene/gaussian_3d/property.rs:61-170
+- Point-cloud initialisation:
+  /root/reference/src/scene/gaussian_3d/import.rs:92-258
+
+The scene is a JAX pytree of the five *inner* (optimisable) parameters:
+
+- ``colors_sh``  [P, 48]   SH coefficients ([P, M, 3] flattened, M=16)
+- ``opacities``  [P, 1]    logit-space opacity (outer = sigmoid(inner))
+- ``positions``  [P, 3]    world positions
+- ``rotations``  [P, 4]    quaternion, scalar-last (x, y, z, w); normalized on read
+- ``scalings``   [P, 3]    log-space scale (outer = exp(inner))
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import SEED, SH_C0, SH_COUNT_MAX
+from .point import Points
+
+_F32_EPS = float(np.finfo(np.float32).eps)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GaussianScene:
+    """The five inner parameters of a 3DGS scene, as a pytree."""
+
+    colors_sh: jax.Array
+    opacities: jax.Array
+    positions: jax.Array
+    rotations: jax.Array
+    scalings: jax.Array
+
+    # -- attributes ------------------------------------------------------------
+
+    @property
+    def point_count(self) -> int:
+        p = self.colors_sh.shape[0]
+        assert self.opacities.shape[0] == p
+        assert self.positions.shape[0] == p
+        assert self.rotations.shape[0] == p
+        assert self.scalings.shape[0] == p
+        return p
+
+    @property
+    def size_bytes(self) -> int:
+        return sum(
+            int(np.prod(x.shape)) * x.dtype.itemsize
+            for x in (
+                self.colors_sh,
+                self.opacities,
+                self.positions,
+                self.rotations,
+                self.scalings,
+            )
+        )
+
+    def __repr__(self) -> str:
+        return (
+            f"GaussianScene(point_count={self.point_count}, "
+            f"size={self.size_bytes}B)"
+        )
+
+    # -- outer property getters (property.rs:61-93) ----------------------------
+
+    def get_colors_sh(self) -> jax.Array:
+        return make_colors_sh(self.colors_sh)
+
+    def get_opacities(self) -> jax.Array:
+        return make_opacities(self.opacities)
+
+    def get_positions(self) -> jax.Array:
+        return make_positions(self.positions)
+
+    def get_rotations(self) -> jax.Array:
+        return make_rotations(self.rotations)
+
+    def get_scalings(self) -> jax.Array:
+        return make_scalings(self.scalings)
+
+    # -- outer property setters (functional; property.rs:96-137) ---------------
+
+    def set_colors_sh(self, v) -> "GaussianScene":
+        return dataclasses.replace(self, colors_sh=make_inner_colors_sh(v))
+
+    def set_opacities(self, v) -> "GaussianScene":
+        return dataclasses.replace(self, opacities=make_inner_opacities(v))
+
+    def set_positions(self, v) -> "GaussianScene":
+        return dataclasses.replace(self, positions=make_inner_positions(v))
+
+    def set_rotations(self, v) -> "GaussianScene":
+        return dataclasses.replace(self, rotations=make_inner_rotations(v))
+
+    def set_scalings(self, v) -> "GaussianScene":
+        return dataclasses.replace(self, scalings=make_inner_scalings(v))
+
+    # -- constructors ----------------------------------------------------------
+
+    @classmethod
+    def from_points(cls, points: Points, seed: int = SEED) -> "GaussianScene":
+        """Initialise a scene from an SfM point cloud.
+
+        Mirrors import.rs:92-258: SH DC from RGB, opacity 0.1, identity
+        rotations, seeded LogNormal(0, e) scales normalized by the max then
+        sqrt'd and repeated over the 3 axes. The RNG stream differs from the
+        reference (Rust StdRng vs NumPy PCG64); the distribution and all
+        other constants are identical.
+        """
+        point_count = len(points)
+
+        colors_sh = np.zeros((point_count, SH_COUNT_MAX * 3), np.float32)
+        colors_sh[:, 0:3] = (points.colors_rgb - 0.5) / np.float32(SH_C0)
+
+        opacities = np.full((point_count, 1), 25.5 / 255.0, np.float32)
+        opacities = np.log(opacities / (1.0 - opacities))
+
+        positions = points.positions.astype(np.float32)
+
+        rotations = np.tile(
+            np.array([0.0, 0.0, 0.0, 1.0], np.float32), (point_count, 1)
+        )
+
+        rng = np.random.default_rng(seed)
+        samples = rng.lognormal(
+            mean=0.0, sigma=float(np.e), size=(point_count, 1)
+        ).astype(np.float32)
+        samples = np.maximum(samples, _F32_EPS)
+        sample_max = max(float(samples.max()) if point_count else 0.0, _F32_EPS)
+        scalings = np.sqrt(samples / np.float32(sample_max))
+        scalings = np.maximum(scalings, _F32_EPS)
+        scalings = np.log(np.repeat(scalings, 3, axis=1))
+
+        return cls(
+            colors_sh=jnp.asarray(colors_sh),
+            opacities=jnp.asarray(opacities),
+            positions=jnp.asarray(positions),
+            rotations=jnp.asarray(rotations),
+            scalings=jnp.asarray(scalings),
+        )
+
+    @classmethod
+    def default(cls) -> "GaussianScene":
+        """16 default points, as the reference's ``Default`` impl."""
+        return cls.from_points(Points.default(16))
+
+    def to_points(self) -> Points:
+        """Export as a point cloud (export.rs:75-106)."""
+        p = self.point_count
+        colors_rgb = np.asarray(self.get_colors_sh()[:, 0:3]) * np.float32(
+            SH_C0
+        ) + np.float32(0.5)
+        positions = np.asarray(self.get_positions()).astype(np.float64)
+        return Points(colors_rgb[:p], positions[:p])
+
+
+# --- inner <-> outer transforms (property.rs) ---------------------------------
+
+
+def make_colors_sh(colors_sh):
+    return colors_sh
+
+
+def make_opacities(opacities):
+    return jax.nn.sigmoid(opacities)
+
+
+def make_positions(positions):
+    return positions
+
+
+def make_rotations(rotations):
+    norm = jnp.sqrt(jnp.sum(rotations**2, axis=-1, keepdims=True))
+    return rotations / norm
+
+
+def make_scalings(scalings):
+    return jnp.exp(scalings)
+
+
+def make_inner_colors_sh(colors_sh):
+    return jnp.asarray(colors_sh)
+
+
+def make_inner_opacities(opacities):
+    opacities = jnp.asarray(opacities)
+    return jnp.log(opacities / (1.0 - opacities))
+
+
+def make_inner_positions(positions):
+    return jnp.asarray(positions)
+
+
+def make_inner_rotations(rotations):
+    return jnp.asarray(rotations)
+
+
+def make_inner_scalings(scalings):
+    return jnp.log(jnp.asarray(scalings))
