@@ -22,6 +22,7 @@ All math is float32, matching the reference kernels.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -172,9 +173,12 @@ def project_gaussians(
     """
     f32 = jnp.float32
     one = f32(1.0)
+    # The 3x3 contractions below must run at full f32 (TPU default matmul
+    # precision is bf16; these are tiny and parity-critical).
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
     # World -> view (transform/kernel.wgsl:134-146).
-    p_view = positions @ camera.view_rotation.T + camera.view_translation
+    p_view = mm(positions, camera.view_rotation.T) + camera.view_translation
     depth = p_view[:, 2]
     depth_ok = (depth >= f32(DEPTH_MIN)) & (depth < f32(DEPTH_MAX))
     depth_safe = jnp.where(depth_ok, depth, one)
@@ -191,7 +195,7 @@ def project_gaussians(
     # 3D covariance from rotation and (log-)scaling (:171-199).
     scale = jnp.exp(scalings)  # outer scaling
     rs = rot_mat * scale[:, None, :]  # R @ diag(s)
-    cov3d = rs @ jnp.swapaxes(rs, -1, -2)  # [P, 3, 3]
+    cov3d = mm(rs, jnp.swapaxes(rs, -1, -2))  # [P, 3, 3]
 
     # Perspective projection with half-pixel center offset (:201-212).
     normalized = p_view[:, 0:2] / depth_safe[:, None]
@@ -219,8 +223,8 @@ def project_gaussians(
         ],
         axis=-2,
     )  # [P, 2, 3]
-    t = j @ camera.view_rotation  # [P, 2, 3]
-    cov2d = t @ cov3d @ jnp.swapaxes(t, -1, -2)
+    t = mm(j, camera.view_rotation)  # [P, 2, 3]
+    cov2d = mm(mm(t, cov3d), jnp.swapaxes(t, -1, -2))
     cov2d = cov2d + f32(FILTER_LOW_PASS) * jnp.eye(2, dtype=jnp.float32)
 
     # Conic = inverse 2D covariance; det == 0 culls (:243-252).

@@ -1,13 +1,13 @@
 """Test configuration: force an 8-device virtual CPU mesh.
 
 Multi-chip hardware is unavailable in CI; sharding correctness is validated
-on XLA's host-platform virtual devices.
+on XLA's host-platform virtual devices. Note: the hosted TPU platform plugin
+overrides the JAX_PLATFORMS env var, so the platform is forced through
+jax.config instead.
 """
 
 import os
 
-if not os.environ.get("GAUSPLAT_TEST_TPU"):
-    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +16,6 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+if not os.environ.get("GAUSPLAT_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,122 @@
+"""Binning tests: depth key monotonicity, gather expansion, tile ranges.
+
+Differential-tested against a naive Python expansion, mirroring the
+reference's scan/sort tests (scan/add/mod.rs:104-189, sort/radix/mod.rs:
+163-303) including non-power-of-two sizes.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gausplat_tpu.constants import DEPTH_MAX, DEPTH_MIN
+from gausplat_tpu.ops.binning import (
+    bin_gaussians,
+    depth_to_order,
+    make_point_orders,
+    sort_entries,
+    tile_ranges_from_keys,
+)
+
+
+def test_depth_order_monotone_16bit():
+    rng = np.random.default_rng(0)
+    depths = np.sort(
+        np.exp(
+            rng.uniform(np.log(DEPTH_MIN), np.log(DEPTH_MAX * 0.999), 4093)
+        ).astype(np.float32)
+    )
+    orders = np.asarray(depth_to_order(jnp.asarray(depths)))
+    assert orders.min() >= 0 and orders.max() < (1 << 16)
+    assert np.all(np.diff(orders.astype(np.int64)) >= 0)
+    # Window edges.
+    edge = np.asarray(
+        depth_to_order(jnp.asarray([DEPTH_MIN, np.nextafter(
+            np.float32(DEPTH_MAX), np.float32(0)
+        )], jnp.float32))
+    )
+    assert edge[0] == 0
+    assert edge[1] == (1 << 16) - 1
+
+
+def _naive_expand(depths, bounds, counts, tile_count_x):
+    keys, idx = [], []
+    for p in range(len(depths)):
+        if counts[p] == 0:
+            continue
+        x_max, x_min, y_max, y_min = bounds[p]
+        for ty in range(y_min, y_max):
+            for tx in range(x_min, x_max):
+                tile = ty * tile_count_x + tx
+                d = np.asarray(
+                    depth_to_order(jnp.asarray([depths[p]], jnp.float32))
+                )[0]
+                keys.append((tile << 16) | int(d))
+                idx.append(p)
+    return np.array(keys, np.uint64), np.array(idx, np.int64)
+
+
+def test_expansion_matches_naive():
+    rng = np.random.default_rng(1)
+    p, tcx, tcy = 37, 5, 4
+    depths = rng.uniform(0.3, 10.0, p).astype(np.float32)
+    x_min = rng.integers(0, tcx, p)
+    x_max = x_min + rng.integers(0, 3, p)
+    y_min = rng.integers(0, tcy, p)
+    y_max = y_min + rng.integers(0, 3, p)
+    x_max, y_max = np.minimum(x_max, tcx), np.minimum(y_max, tcy)
+    counts = ((x_max - x_min) * (y_max - y_min)).astype(np.int32)
+    # Some fully-culled points.
+    culled = rng.random(p) < 0.3
+    counts[culled] = 0
+    bounds = np.stack([x_max, x_min, y_max, y_min], -1).astype(np.int32)
+
+    capacity = 257  # deliberately not a power of two
+    keys, idx, total = make_point_orders(
+        jnp.asarray(depths),
+        jnp.asarray(bounds),
+        jnp.asarray(counts),
+        tile_count_x=tcx,
+        capacity=capacity,
+    )
+    nkeys, nidx = _naive_expand(depths, bounds, counts, tcx)
+    t = int(total)
+    assert t == len(nkeys) and t <= capacity
+    np.testing.assert_array_equal(np.asarray(keys[:t]).astype(np.uint64), nkeys)
+    np.testing.assert_array_equal(np.asarray(idx[:t]), nidx)
+    assert np.all(np.asarray(keys[t:]) == 0xFFFFFFFF)
+    assert np.all(np.asarray(idx[t:]) == p)
+
+
+def test_sort_stable_and_ranges():
+    rng = np.random.default_rng(2)
+    n = (1 << 10) - 1  # non-power-of-two
+    keys = rng.integers(0, 1 << 20, n, dtype=np.uint32).astype(np.uint32)
+    vals = np.arange(n, dtype=np.int32)
+    sk, sv = sort_entries(jnp.asarray(keys), jnp.asarray(vals))
+    sk, sv = np.asarray(sk), np.asarray(sv)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(sk, keys[order])
+    np.testing.assert_array_equal(sv, vals[order])  # stability
+
+    num_tiles = 20
+    tiles = rng.integers(0, num_tiles, n, dtype=np.uint32)
+    keys2 = (tiles.astype(np.uint32) << np.uint32(16)) | np.uint32(7)
+    sk2, _ = sort_entries(jnp.asarray(keys2), jnp.asarray(vals))
+    ranges = np.asarray(
+        tile_ranges_from_keys(sk2, jnp.int32(n), num_tiles=num_tiles)
+    )
+    counts = np.bincount(tiles, minlength=num_tiles)
+    ends = np.cumsum(counts)
+    np.testing.assert_array_equal(ranges[:, 1], ends)
+    np.testing.assert_array_equal(ranges[:, 0], ends - counts)
+
+
+def test_bin_gaussians_overflow_detection():
+    depths = jnp.asarray(np.full(16, 1.0, np.float32))
+    bounds = jnp.asarray(np.tile([4, 0, 4, 0], (16, 1)).astype(np.int32))
+    counts = jnp.asarray(np.full(16, 16, np.int32))
+    out = bin_gaussians(
+        depths, bounds, counts, tile_count_x=4, tile_count_y=4, capacity=64
+    )
+    assert int(out.total) == 256  # true total reported even past capacity
+    assert out.point_indices.shape == (64,)
