@@ -175,9 +175,9 @@ def forward_batch(
     color = state.color + jnp.stack(
         [jnp.sum(weight * entries.color[:, c : c + 1], axis=0) for c in range(3)]
     )
-    batch_prod = jnp.prod(
-        jnp.where(blended, one_minus, f32(1.0)), axis=0, keepdims=True
-    )
+    # Total blended product = last row of the cumulative product (Mosaic has
+    # no reduce_prod primitive).
+    batch_prod = cumprod_points(jnp.where(blended, one_minus, f32(1.0)))[-1:]
     transmittance = state.transmittance * batch_prod
     done = state.done | jnp.any(crossed, axis=0, keepdims=True)
 
@@ -281,8 +281,7 @@ def backward_batch(
     )  # [B, 3]
 
     new_state = BackwardState(
-        transmittance=state.transmittance
-        * jnp.prod(one_minus, axis=0, keepdims=True),
+        transmittance=state.transmittance * prod_incl[-1:],
         grad_prefix=state.grad_prefix
         + jnp.sum(weight * g_dot_c, axis=0, keepdims=True),
     )

@@ -226,8 +226,12 @@ def rasterize_forward_pallas(
             pl.BlockSpec(
                 (1, 3, PIXELS_PER_TILE), lambda i, tob, bpos: (tob[i], 0, 0)
             ),
-            pl.BlockSpec((1, PIXELS_PER_TILE), lambda i, tob, bpos: (tob[i], 0)),
-            pl.BlockSpec((1, PIXELS_PER_TILE), lambda i, tob, bpos: (tob[i], 0)),
+            pl.BlockSpec(
+                (1, 1, PIXELS_PER_TILE), lambda i, tob, bpos: (tob[i], 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, PIXELS_PER_TILE), lambda i, tob, bpos: (tob[i], 0, 0)
+            ),
         ],
         scratch_shapes=[pltpu.VMEM((1, PIXELS_PER_TILE), jnp.int32)],
     )
@@ -240,23 +244,24 @@ def rasterize_forward_pallas(
             bpos,
             entry,
             image.at[0],
-            trans,
-            count,
+            trans.at[0],
+            count.at[0],
             done,
             block_size=b,
             tile_count_x=tile_count_x,
         )
 
-    return pl.pallas_call(
+    image_tiles, trans_tiles, count_tiles = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((num_tiles, 3, PIXELS_PER_TILE), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, PIXELS_PER_TILE), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, PIXELS_PER_TILE), jnp.int32),
+            jax.ShapeDtypeStruct((num_tiles, 1, PIXELS_PER_TILE), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 1, PIXELS_PER_TILE), jnp.int32),
         ],
         interpret=interpret,
     )(blocks.tile_of_block, blocks.block_pos, blocks.entry_data)
+    return image_tiles, trans_tiles[:, 0, :], count_tiles[:, 0, :]
 
 
 # --- Pallas backward ----------------------------------------------------------
@@ -326,8 +331,12 @@ def rasterize_backward_pallas(
             pl.BlockSpec(
                 (1, 3, PIXELS_PER_TILE), lambda i, tob, bpos: (tob[i], 0, 0)
             ),
-            pl.BlockSpec((1, PIXELS_PER_TILE), lambda i, tob, bpos: (tob[i], 0)),
-            pl.BlockSpec((1, PIXELS_PER_TILE), lambda i, tob, bpos: (tob[i], 0)),
+            pl.BlockSpec(
+                (1, 1, PIXELS_PER_TILE), lambda i, tob, bpos: (tob[i], 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, PIXELS_PER_TILE), lambda i, tob, bpos: (tob[i], 0, 0)
+            ),
         ],
         out_specs=pl.BlockSpec((b, ENTRY_COLUMNS), lambda i, tob, bpos: (i, 0)),
         scratch_shapes=[
@@ -342,8 +351,8 @@ def rasterize_backward_pallas(
             bpos,
             entry,
             grad.at[0],
-            gdotc,
-            count,
+            gdotc.at[0],
+            count.at[0],
             out,
             trans,
             prefix,
@@ -361,8 +370,8 @@ def rasterize_backward_pallas(
         blocks.block_pos,
         blocks.entry_data,
         grad_tiles,
-        gdotc_tiles,
-        count_tiles,
+        gdotc_tiles[:, None, :],
+        count_tiles[:, None, :],
     )
 
 
