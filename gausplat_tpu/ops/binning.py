@@ -30,8 +30,54 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..constants import DEPTH_ORDER_OFFSET
+
+
+def searchsorted_right(sorted_arr: jax.Array, queries: jax.Array) -> jax.Array:
+    """Vectorized binary search (side='right') via log-steps of gathers.
+
+    ``jnp.searchsorted`` lowers poorly on TPU for large inputs (its 'sort'
+    method re-sorts the concatenation on every call; 'scan' is serial); an
+    explicit binary search is a handful of cheap gathers.
+    """
+    n = sorted_arr.shape[0]
+    lo = jnp.zeros(queries.shape, jnp.int32)
+    hi = jnp.full(queries.shape, n, jnp.int32)
+    steps = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        go_right = sorted_arr[jnp.clip(mid, 0, n - 1)] <= queries
+        lo = jnp.where(go_right & (lo < hi), mid + 1, lo)
+        hi = jnp.where(go_right | (lo >= hi), hi, mid)
+    return lo
+
+
+def spans_to_sources(
+    offsets_inclusive: jax.Array, capacity: int
+) -> jax.Array:
+    """Map each entry slot to its source span index.
+
+    Given inclusive-cumsum span ends (span i covers
+    [offsets_inclusive[i-1], offsets_inclusive[i])), returns for each slot
+    ``e`` in [0, capacity) the span containing it (clipped to the last span
+    for out-of-range slots). Implemented as scatter + cumulative max — two
+    bandwidth-bound passes instead of a per-slot binary search.
+    """
+    n = offsets_inclusive.shape[0]
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), offsets_inclusive.dtype), offsets_inclusive[:-1]]
+    )
+    nonempty = offsets_inclusive > starts
+    ids = jnp.arange(n, dtype=jnp.int32)
+    # Scatter (id + 1) at each nonempty span's start; drop out-of-capacity.
+    scat = jnp.zeros((capacity,), jnp.int32)
+    scat = scat.at[jnp.where(nonempty, starts, capacity)].max(
+        ids + 1, mode="drop"
+    )
+    src = jax.lax.cummax(scat) - 1
+    return jnp.clip(src, 0, n - 1)
 
 
 class BinningOutput(NamedTuple):
@@ -72,13 +118,10 @@ def make_point_orders(
     total = offsets_inc[-1] if p > 0 else jnp.int32(0)
     offsets = offsets_inc - tile_counts  # exclusive
 
-    # Gather-based expansion: entry e binary-searches its source point.
+    # Gather-based expansion: map each entry slot to its source point via
+    # scatter + cummax (bandwidth-bound; no per-slot search).
     entry_ids = jnp.arange(capacity, dtype=jnp.int32)
-    src = (
-        jnp.searchsorted(offsets_inc, entry_ids, side="right")
-        .astype(jnp.int32)
-        .clip(0, p - 1)
-    )
+    src = spans_to_sources(offsets_inc, capacity)
     valid = entry_ids < jnp.minimum(total, jnp.int32(capacity))
 
     local = entry_ids - offsets[src]  # rank of e within its point's tiles
@@ -124,20 +167,17 @@ def tile_ranges_from_keys(
     """Per-tile [start, end) ranges into the sorted entry list.
 
     Replaces the boundary-detection kernel (segment/kernel.2.wgsl:40-51)
-    with a masked per-tile count + cumsum. Empty tiles get (0, 0) — any
-    (s, s) range renders nothing, matching the reference's zero-init.
+    with a vectorized binary search over the sorted tile ids. Empty tiles
+    get an empty (s, s) range — equivalent to the reference's (0, 0).
     """
     capacity = sorted_keys.shape[0]
-    entry_ids = jnp.arange(capacity, dtype=jnp.int32)
-    valid = entry_ids < jnp.minimum(total, jnp.int32(capacity))
-    tile_ids = jnp.where(
-        valid, (sorted_keys >> jnp.uint32(16)).astype(jnp.int32), num_tiles
-    )
-    counts = jax.ops.segment_sum(
-        valid.astype(jnp.int32), tile_ids, num_segments=num_tiles + 1
-    )[:num_tiles]
-    ends = jnp.cumsum(counts)
-    starts = ends - counts
+    tile_ids = (sorted_keys >> jnp.uint32(16)).astype(jnp.int32)
+    queries = jnp.arange(num_tiles, dtype=jnp.int32)
+    ends = searchsorted_right(tile_ids, queries)
+    # Padding entries (key 0xFFFFFFFF) sort last; stability puts any real
+    # tile-0xFFFF entries before them, so clamping by the true total is exact.
+    ends = jnp.minimum(ends, jnp.minimum(total, jnp.int32(capacity)))
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
     return jnp.stack([starts, ends], axis=-1)
 
 

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from ..constants import TILE_SIZE_X, TILE_SIZE_Y
+from .binning import spans_to_sources
 from .blend import (
     ENTRY_COLUMNS,
     BackwardState,
@@ -68,6 +69,7 @@ class TileBlocks(NamedTuple):
     entry_point: jax.Array  # [NB * B] int32 source point (P = padding)
     tile_of_block: jax.Array  # [NB] int32
     block_pos: jax.Array  # [NB] int32 position of block within its tile
+    block_valid: jax.Array  # [NB] int32 count of real entries in the block
     block_size: int
 
 
@@ -97,11 +99,7 @@ def build_tile_blocks(
 
     block_ids = jnp.arange(nb_max, dtype=jnp.int32)
     in_range = block_ids < total_blocks
-    tile_of_block = (
-        jnp.searchsorted(blk_end, block_ids, side="right")
-        .astype(jnp.int32)
-        .clip(0, num_tiles - 1)
-    )
+    tile_of_block = spans_to_sources(blk_end.astype(jnp.int32), nb_max)
     # Trailing unused blocks: attach to the last tile at a non-zero position
     # so they never reset (or corrupt) live tile state.
     tile_of_block = jnp.where(in_range, tile_of_block, num_tiles - 1)
@@ -126,11 +124,18 @@ def build_tile_blocks(
     )
     entry_data = padded[entry_point]
 
+    block_valid = jnp.where(
+        in_range,
+        jnp.clip(counts[tile_of_block] - block_pos * b, 0, b),
+        0,
+    ).astype(jnp.int32)
+
     return TileBlocks(
         entry_data=entry_data,
         entry_point=entry_point,
         tile_of_block=tile_of_block,
         block_pos=block_pos,
+        block_valid=block_valid,
         block_size=b,
     )
 
@@ -164,6 +169,7 @@ def _pixel_coords(tile_index, tile_count_x):
 def _forward_kernel(
     tob_ref,  # scalar prefetch: [NB] block -> tile
     bpos_ref,  # scalar prefetch: [NB] block -> position in tile
+    bval_ref,  # scalar prefetch: [NB] block -> valid-entry count
     entry_ref,  # [B, 9] VMEM
     image_ref,  # [3, 256] VMEM out (revisited per tile)
     trans_ref,  # [1, 256] VMEM out
@@ -183,9 +189,9 @@ def _forward_kernel(
         count_ref[...] = jnp.zeros_like(count_ref)
         done_ref[...] = jnp.zeros_like(done_ref)
 
-    all_done = jnp.all(done_ref[...] > 0)
+    skip = jnp.all(done_ref[...] > 0) | (bval_ref[i] == 0)
 
-    @pl.when(jnp.logical_not(all_done))
+    @pl.when(jnp.logical_not(skip))
     def _():
         entries = EntryBlock.from_rows(entry_ref[...])
         pix_x, pix_y = _pixel_coords(tob_ref[i], tile_count_x)
@@ -217,31 +223,32 @@ def rasterize_forward_pallas(
     nb = blocks.tile_of_block.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((b, ENTRY_COLUMNS), lambda i, tob, bpos: (i, 0)),
+            pl.BlockSpec((b, ENTRY_COLUMNS), lambda i, tob, bpos, bval: (i, 0)),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 3, PIXELS_PER_TILE), lambda i, tob, bpos: (tob[i], 0, 0)
+                (1, 3, PIXELS_PER_TILE), lambda i, tob, bpos, bval: (tob[i], 0, 0)
             ),
             pl.BlockSpec(
-                (1, 1, PIXELS_PER_TILE), lambda i, tob, bpos: (tob[i], 0, 0)
+                (1, 1, PIXELS_PER_TILE), lambda i, tob, bpos, bval: (tob[i], 0, 0)
             ),
             pl.BlockSpec(
-                (1, 1, PIXELS_PER_TILE), lambda i, tob, bpos: (tob[i], 0, 0)
+                (1, 1, PIXELS_PER_TILE), lambda i, tob, bpos, bval: (tob[i], 0, 0)
             ),
         ],
         scratch_shapes=[pltpu.VMEM((1, PIXELS_PER_TILE), jnp.int32)],
     )
 
-    def kernel(tob, bpos, entry, image, trans, count, done):
+    def kernel(tob, bpos, bval, entry, image, trans, count, done):
         # The tiled output blocks carry a leading singleton dim; present the
         # kernel math with [3, 256] / [1, 256] views.
         _forward_kernel(
             tob,
             bpos,
+            bval,
             entry,
             image.at[0],
             trans.at[0],
@@ -260,7 +267,12 @@ def rasterize_forward_pallas(
             jax.ShapeDtypeStruct((num_tiles, 1, PIXELS_PER_TILE), jnp.int32),
         ],
         interpret=interpret,
-    )(blocks.tile_of_block, blocks.block_pos, blocks.entry_data)
+    )(
+        blocks.tile_of_block,
+        blocks.block_pos,
+        blocks.block_valid,
+        blocks.entry_data,
+    )
     return image_tiles, trans_tiles[:, 0, :], count_tiles[:, 0, :]
 
 
@@ -270,6 +282,7 @@ def rasterize_forward_pallas(
 def _backward_kernel(
     tob_ref,
     bpos_ref,
+    bval_ref,
     entry_ref,  # [B, 9]
     grad_ref,  # [3, 256] upstream pixel-color grad for the tile
     gdotc_ref,  # [1, 256] <g, C_final> for the tile
@@ -288,26 +301,34 @@ def _backward_kernel(
         trans_ref[...] = jnp.ones_like(trans_ref)
         prefix_ref[...] = jnp.zeros_like(prefix_ref)
 
-    entries = EntryBlock.from_rows(entry_ref[...])
-    pix_x, pix_y = _pixel_coords(tob_ref[i], tile_count_x)
-    state = BackwardState(
-        transmittance=trans_ref[...], grad_prefix=prefix_ref[...]
-    )
-    new_state, grads = backward_batch(
-        state,
-        entries,
-        pix_x,
-        pix_y,
-        bpos_ref[i] * block_size,
-        grad_ref[...],
-        gdotc_ref[...],
-        count_ref[...],
-    )
-    trans_ref[...] = new_state.transmittance
-    prefix_ref[...] = new_state.grad_prefix
-    out_ref[...] = jnp.concatenate(
-        [grads.color, grads.conic, grads.opacity, grads.pos_2d], axis=-1
-    )
+    skip = bval_ref[i] == 0
+
+    @pl.when(skip)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(jnp.logical_not(skip))
+    def _():
+        entries = EntryBlock.from_rows(entry_ref[...])
+        pix_x, pix_y = _pixel_coords(tob_ref[i], tile_count_x)
+        state = BackwardState(
+            transmittance=trans_ref[...], grad_prefix=prefix_ref[...]
+        )
+        new_state, grads = backward_batch(
+            state,
+            entries,
+            pix_x,
+            pix_y,
+            bpos_ref[i] * block_size,
+            grad_ref[...],
+            gdotc_ref[...],
+            count_ref[...],
+        )
+        trans_ref[...] = new_state.transmittance
+        prefix_ref[...] = new_state.grad_prefix
+        out_ref[...] = jnp.concatenate(
+            [grads.color, grads.conic, grads.opacity, grads.pos_2d], axis=-1
+        )
 
 
 def rasterize_backward_pallas(
@@ -324,31 +345,34 @@ def rasterize_backward_pallas(
     nb = blocks.tile_of_block.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((b, ENTRY_COLUMNS), lambda i, tob, bpos: (i, 0)),
+            pl.BlockSpec((b, ENTRY_COLUMNS), lambda i, tob, bpos, bval: (i, 0)),
             pl.BlockSpec(
-                (1, 3, PIXELS_PER_TILE), lambda i, tob, bpos: (tob[i], 0, 0)
+                (1, 3, PIXELS_PER_TILE), lambda i, tob, bpos, bval: (tob[i], 0, 0)
             ),
             pl.BlockSpec(
-                (1, 1, PIXELS_PER_TILE), lambda i, tob, bpos: (tob[i], 0, 0)
+                (1, 1, PIXELS_PER_TILE), lambda i, tob, bpos, bval: (tob[i], 0, 0)
             ),
             pl.BlockSpec(
-                (1, 1, PIXELS_PER_TILE), lambda i, tob, bpos: (tob[i], 0, 0)
+                (1, 1, PIXELS_PER_TILE), lambda i, tob, bpos, bval: (tob[i], 0, 0)
             ),
         ],
-        out_specs=pl.BlockSpec((b, ENTRY_COLUMNS), lambda i, tob, bpos: (i, 0)),
+        out_specs=pl.BlockSpec(
+            (b, ENTRY_COLUMNS), lambda i, tob, bpos, bval: (i, 0)
+        ),
         scratch_shapes=[
             pltpu.VMEM((1, PIXELS_PER_TILE), jnp.float32),
             pltpu.VMEM((1, PIXELS_PER_TILE), jnp.float32),
         ],
     )
 
-    def kernel(tob, bpos, entry, grad, gdotc, count, out, trans, prefix):
+    def kernel(tob, bpos, bval, entry, grad, gdotc, count, out, trans, prefix):
         _backward_kernel(
             tob,
             bpos,
+            bval,
             entry,
             grad.at[0],
             gdotc.at[0],
@@ -368,6 +392,7 @@ def rasterize_backward_pallas(
     )(
         blocks.tile_of_block,
         blocks.block_pos,
+        blocks.block_valid,
         blocks.entry_data,
         grad_tiles,
         gdotc_tiles[:, None, :],
@@ -378,16 +403,32 @@ def rasterize_backward_pallas(
 # --- XLA fallback (lax.scan over blocks; oracle + non-TPU hosts) ---------------
 
 
+def _match_vma(tree, ref):
+    """Tag ``tree`` as varying over the same manual axes as ``ref`` (no-op
+    outside shard_map). Needed so lax.scan carries type-check under
+    shard_map's varying-manual-axes tracking."""
+    try:
+        vma = tuple(jax.typeof(ref).vma)
+    except AttributeError:  # pragma: no cover - older jax
+        return tree
+    if not vma:
+        return tree
+    return jax.tree_util.tree_map(lambda x: jax.lax.pvary(x, vma), tree)
+
+
 def rasterize_forward_xla(blocks: TileBlocks, *, num_tiles: int, tile_count_x: int):
     b = blocks.block_size
     nb = blocks.tile_of_block.shape[0]
     entry = blocks.entry_data.reshape(nb, b, ENTRY_COLUMNS)
 
-    init = (
-        jnp.zeros((num_tiles, 3, PIXELS_PER_TILE), jnp.float32),
-        jnp.ones((num_tiles, PIXELS_PER_TILE), jnp.float32),
-        jnp.zeros((num_tiles, PIXELS_PER_TILE), jnp.bool_),
-        jnp.zeros((num_tiles, PIXELS_PER_TILE), jnp.int32),
+    init = _match_vma(
+        (
+            jnp.zeros((num_tiles, 3, PIXELS_PER_TILE), jnp.float32),
+            jnp.ones((num_tiles, PIXELS_PER_TILE), jnp.float32),
+            jnp.zeros((num_tiles, PIXELS_PER_TILE), jnp.bool_),
+            jnp.zeros((num_tiles, PIXELS_PER_TILE), jnp.int32),
+        ),
+        blocks.entry_data,
     )
 
     def step(carry, xs):
@@ -434,9 +475,12 @@ def rasterize_backward_xla(
     nb = blocks.tile_of_block.shape[0]
     entry = blocks.entry_data.reshape(nb, b, ENTRY_COLUMNS)
 
-    init = (
-        jnp.ones((grad_tiles.shape[0], PIXELS_PER_TILE), jnp.float32),
-        jnp.zeros((grad_tiles.shape[0], PIXELS_PER_TILE), jnp.float32),
+    init = _match_vma(
+        (
+            jnp.ones((grad_tiles.shape[0], PIXELS_PER_TILE), jnp.float32),
+            jnp.zeros((grad_tiles.shape[0], PIXELS_PER_TILE), jnp.float32),
+        ),
+        grad_tiles,
     )
 
     def step(carry, xs):

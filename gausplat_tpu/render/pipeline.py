@@ -105,8 +105,7 @@ def _capacity(point_count: int, options: RenderOptions) -> int:
     return (cap + b - 1) // b * b
 
 
-@functools.lru_cache(maxsize=64)
-def _make_render_fn(
+def _build_render_fn(
     image_width: int,
     image_height: int,
     point_count: int,
@@ -116,7 +115,14 @@ def _make_render_fn(
     backend: str,
     interpret: bool,
 ):
-    """Build (and cache) the custom-VJP render core for a static config."""
+    """Build the (unjitted) custom-VJP render core for a static config.
+
+    The returned function is a pure jittable function of
+    ``(colors_sh, opacities, positions, rotations, scalings,
+    positions_2d_grad_norm_ref, camera)`` and composes with ``jax.vmap``
+    (view batching) and ``jax.shard_map`` (tile sharding / data
+    parallelism) — see :mod:`gausplat_tpu.parallel`.
+    """
     tile_count_x = -(-image_width // TILE_SIZE_X)
     tile_count_y = -(-image_height // TILE_SIZE_Y)
     num_tiles = tile_count_x * tile_count_y
@@ -275,7 +281,13 @@ def _make_render_fn(
         )
 
     render_fn.defvjp(_render_fwd, _render_bwd)
-    return jax.jit(render_fn)
+    return render_fn
+
+
+@functools.lru_cache(maxsize=64)
+def _make_render_fn(*cfg):
+    """Jitted, cached variant of :func:`_build_render_fn`."""
+    return jax.jit(_build_render_fn(*cfg))
 
 
 def render(
