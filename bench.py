@@ -1,0 +1,125 @@
+"""Headline benchmark: fwd+bwd ms/frame at 1080p with 1M Gaussians.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the 10 ms/frame target from BASELINE.json (the reference itself
+publishes no numbers — BASELINE.md). vs_baseline = baseline_ms / value
+(higher is better; 1.0 means hitting the 10 ms target).
+
+Timing is amortized inside a single compiled chain (the hosted TPU tunnel
+adds tens of ms of RPC latency per dispatch, which would otherwise dominate).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MS = 10.0
+
+
+def _make_inputs(point_count, width, height):
+    import jax.numpy as jnp
+    from gausplat_tpu import GaussianScene, View
+    from gausplat_tpu.ops.projection import Camera
+
+    rng = np.random.default_rng(0)
+    # A synthetic but representative scene: points in a ball around the
+    # camera target, scale distribution tuned to a garden-like tile-point
+    # expansion (~10 entries/visible point at 1080p).
+    positions = (rng.standard_normal((point_count, 3)) * 2.2).astype(np.float32)
+    scene = GaussianScene(
+        colors_sh=jnp.asarray(
+            rng.standard_normal((point_count, 48)).astype(np.float32) * 0.2
+        ),
+        opacities=jnp.asarray(
+            rng.standard_normal((point_count, 1)).astype(np.float32)
+        ),
+        positions=jnp.asarray(positions),
+        rotations=jnp.asarray(
+            rng.standard_normal((point_count, 4)).astype(np.float32)
+        ),
+        scalings=jnp.asarray(
+            np.log(0.002 + 0.008 * rng.random((point_count, 3))).astype(np.float32)
+        ),
+    )
+    view = View(
+        field_of_view_x=1.2,
+        field_of_view_y=0.8,
+        image_height=height,
+        image_width=width,
+        view_position=[0.0, 0.0, -8.0],
+        view_transform=View.transform(np.eye(3), [0.0, 0.0, 8.0]),
+    )
+    return scene, Camera.from_view(view)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from gausplat_tpu import RenderOptions
+    from gausplat_tpu.render.pipeline import (
+        _build_render_fn,
+        _resolve_backend,
+    )
+
+    point_count = int(os.environ.get("BENCH_POINTS", 1_000_000))
+    width, height = 1920, 1080
+    capacity = int(os.environ.get("BENCH_CAPACITY", 16_000_000))
+
+    scene, camera = _make_inputs(point_count, width, height)
+    options = RenderOptions(tile_entry_capacity=capacity)
+    fn = _build_render_fn(
+        width, height, point_count, 3, capacity, options.block_size,
+        _resolve_backend(options.backend), False,
+    )
+    ref = jnp.zeros((point_count,), jnp.float32)
+
+    def loss(csh, op, pos, rot, scal):
+        out = fn(csh, op, pos, rot, scal, ref, camera)
+        return jnp.mean(out.colors_rgb_2d**2)
+
+    grad_fn = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))
+
+    def chain(n):
+        @jax.jit
+        def go(csh):
+            acc = jnp.float32(0.0)
+            for i in range(n):
+                v, g = grad_fn(
+                    csh + i * jnp.float32(1e-7), scene.opacities,
+                    scene.positions, scene.rotations, scene.scalings,
+                )
+                acc = acc + v + g[0].ravel()[0]
+            return acc
+        return go
+
+    n = int(os.environ.get("BENCH_ITERS", 4))
+    many, one = chain(n), chain(1)
+    # Warm up / compile.
+    float(one(scene.colors_sh))
+    float(many(scene.colors_sh))
+    # Amortized timing: (n-run - 1-run) / (n - 1) removes dispatch latency.
+    t0 = time.time()
+    float(many(scene.colors_sh))
+    tm = time.time() - t0
+    t0 = time.time()
+    float(one(scene.colors_sh))
+    t1 = time.time() - t0
+    ms = (tm - t1) / (n - 1) * 1000.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "ms/frame fwd+bwd at 1080p with 1M Gaussians",
+                "value": round(ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_MS / ms, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,7 @@ import numpy as np
 
 from ..constants import SH_COUNT_MAX
 from ..errors import MismatchedPolygonHeaderError
+from ..utils import native
 from .gaussian_3d import GaussianScene
 
 PROPERTY_COUNT = 62
@@ -109,6 +110,18 @@ def decode_polygon(source: Union[bytes, BinaryIO]) -> GaussianScene:
 
     dtype = "<f4" if fmt == "binary_little_endian" else ">f4"
     payload = reader.read(point_count * PROPERTY_COUNT * 4)
+
+    if fmt == "binary_little_endian" and native.available():
+        arrays = native.decode_payload(payload, point_count)
+        colors_sh, opacities, positions, rotations, scalings = arrays
+        return GaussianScene(
+            colors_sh=jnp.asarray(colors_sh),
+            opacities=jnp.asarray(opacities),
+            positions=jnp.asarray(positions),
+            rotations=jnp.asarray(rotations),
+            scalings=jnp.asarray(scalings),
+        )
+
     data = np.frombuffer(payload, dtype=dtype, count=point_count * PROPERTY_COUNT)
     data = data.astype(np.float32).reshape(point_count, PROPERTY_COUNT)
 
@@ -139,6 +152,19 @@ def decode_polygon(source: Union[bytes, BinaryIO]) -> GaussianScene:
 def encode_polygon(scene: GaussianScene, writer: BinaryIO | None = None) -> bytes:
     """Encode a :class:`GaussianScene` as a 3DGS PLY file (little-endian)."""
     point_count = scene.point_count
+
+    if native.available():
+        payload = native.encode_payload(
+            np.asarray(scene.colors_sh, np.float32),
+            np.asarray(scene.opacities, np.float32),
+            np.asarray(scene.positions, np.float32),
+            np.asarray(scene.rotations, np.float32),
+            np.asarray(scene.scalings, np.float32),
+        )
+        out = _header_text(point_count).encode("ascii") + payload
+        if writer is not None:
+            writer.write(out)
+        return out
 
     colors_sh = np.asarray(scene.colors_sh, np.float32)
     f_dc = colors_sh[:, 0:3]

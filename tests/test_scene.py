@@ -214,3 +214,39 @@ def test_ply_header_mismatch_raises():
             b"ply\nformat binary_little_endian 1.0\n"
             b"element vertex 1\nproperty float x\nend_header\n" + b"\x00" * 4
         )
+
+
+def test_native_codec_matches_numpy():
+    """When the C++ codec is built, it must match the NumPy path exactly."""
+    from gausplat_tpu.utils import native
+    from gausplat_tpu.scene import ply as ply_mod
+
+    if not native.available():
+        import pytest as _pytest
+
+        _pytest.skip("native extension not built")
+
+    rng = np.random.default_rng(8)
+    scene = GaussianScene(
+        colors_sh=jnp.asarray(rng.standard_normal((33, 48)).astype(np.float32)),
+        opacities=jnp.asarray(rng.standard_normal((33, 1)).astype(np.float32)),
+        positions=jnp.asarray(rng.standard_normal((33, 3)).astype(np.float32)),
+        rotations=jnp.asarray(rng.standard_normal((33, 4)).astype(np.float32)),
+        scalings=jnp.asarray(rng.standard_normal((33, 3)).astype(np.float32)),
+    )
+    # Native encode vs NumPy encode must be byte-identical.
+    blob_native = encode_polygon(scene)
+    orig = native._native
+    native._native = None
+    try:
+        blob_numpy = encode_polygon(scene)
+        scene_numpy = decode_polygon(blob_native)
+    finally:
+        native._native = orig
+    assert blob_native == blob_numpy
+    scene_native = decode_polygon(blob_native)
+    for name in ("colors_sh", "opacities", "positions", "rotations", "scalings"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(scene_native, name)),
+            np.asarray(getattr(scene_numpy, name)),
+        )
