@@ -13,15 +13,18 @@ static-shape:
 
 - The (tile, point) expansion buffer has a *static capacity*; the dynamic
   total is carried on-device and returned for overflow detection.
-- Expansion is a **gather**, not a scatter: entry ``e`` finds its source
-  point with a vectorized binary search over the exclusive-cumsum offsets,
-  then derives its tile coordinate from ``e - offset``. No atomics, no
-  host sync, fully parallel.
+- Expansion is a **gather**, not a scatter: each entry slot maps to its
+  source point via a scatter + cumulative-max over the exclusive-cumsum
+  offsets, then derives its tile coordinate from ``e - offset``. No
+  atomics, no host sync, fully parallel.
 - Sorting uses ``jax.lax.sort`` (stable) on the packed u32 key
   ``tile_index << 16 | depth16`` — the exact bit layout of the reference,
   so blend order (and the image) matches.
-- Tile ranges come from a masked segment-sum + cumulative sum instead of a
-  boundary-detection kernel.
+- Tile ranges come from a vectorized binary search over the sorted tile
+  ids instead of a boundary-detection kernel.
+
+All per-point/per-entry arrays are 1-D (structure-of-arrays) — compact in
+HBM under TPU tiling.
 """
 
 from __future__ import annotations
@@ -98,7 +101,9 @@ def depth_to_order(depths: jax.Array) -> jax.Array:
 
 def make_point_orders(
     depths: jax.Array,
-    tile_bounds: jax.Array,
+    tile_x_max: jax.Array,
+    tile_x_min: jax.Array,
+    tile_y_min: jax.Array,
     tile_counts: jax.Array,
     *,
     tile_count_x: int,
@@ -125,9 +130,9 @@ def make_point_orders(
     valid = entry_ids < jnp.minimum(total, jnp.int32(capacity))
 
     local = entry_ids - offsets[src]  # rank of e within its point's tiles
-    x_max = tile_bounds[src, 0]
-    x_min = tile_bounds[src, 1]
-    y_min = tile_bounds[src, 3]
+    x_max = tile_x_max[src]
+    x_min = tile_x_min[src]
+    y_min = tile_y_min[src]
     width = jnp.maximum(x_max - x_min, 1)
     tile_x = x_min + local % width
     tile_y = y_min + local // width
@@ -183,7 +188,9 @@ def tile_ranges_from_keys(
 
 def bin_gaussians(
     depths: jax.Array,
-    tile_bounds: jax.Array,
+    tile_x_max: jax.Array,
+    tile_x_min: jax.Array,
+    tile_y_min: jax.Array,
     tile_counts: jax.Array,
     *,
     tile_count_x: int,
@@ -193,7 +200,9 @@ def bin_gaussians(
     """Full binning pipeline: expand -> sort -> segment."""
     keys, point_indices, total = make_point_orders(
         depths,
-        tile_bounds,
+        tile_x_max,
+        tile_x_min,
+        tile_y_min,
         tile_counts,
         tile_count_x=tile_count_x,
         capacity=capacity,

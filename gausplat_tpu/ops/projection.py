@@ -5,24 +5,29 @@ kernel.wgsl:117-418 (forward math) and transform_backward/kernel.wgsl (its
 analytic backward).
 
 Design: instead of a per-point WGSL kernel + a hand-derived 600-line backward
-kernel, this is a *pure differentiable jnp function* vectorized over points.
-XLA fuses the whole stage into a few elementwise kernels, and the training
-backward is obtained with ``jax.vjp`` — which reproduces the reference's
-analytic gradients exactly because every clamp/cull is expressed with
-gradient-correct ``where`` masking:
+kernel, this is a *pure differentiable jnp function* vectorized over points,
+and the training backward is obtained with ``jax.vjp`` — which reproduces the
+reference's analytic gradients exactly because every clamp/cull is expressed
+with gradient-correct ``where`` masking:
 
 - the EWA normalized-coordinate clamp masks its gradient like
   ``is_position_3d_in_normalized_not_clamped`` (transform_backward:229-249);
 - the RGB clamp at zero masks like ``is_colors_rgb_3d_not_clamped``;
 - culled points contribute zero gradient (``radii == 0`` skip).
 
-All math is float32, matching the reference kernels.
+Layout: **structure-of-arrays**. All per-point quantities are 1-D ``[P]``
+component arrays and every operation is elementwise — the 3x3/2x3 matrix
+algebra (quaternion -> rotation, RS RS^T, EWA J Rv Sigma (J Rv)^T) is
+expanded into scalar component formulas. This matters twice on TPU: XLA
+fuses the whole stage into a few VPU kernels with *no materialized
+intermediates*, and nothing ever takes the (8, 128)-tile padding hit that
+``[P, 3]``/``[P, 3, 3]`` arrays suffer in HBM (a 14x-57x memory blowup at
+production point counts). All math is float32, matching the reference.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import NamedTuple
 
 import jax
@@ -66,10 +71,7 @@ class Camera:
         tan_x = np.tan(view.field_of_view_x / 2.0)
         tan_y = np.tan(view.field_of_view_y / 2.0)
         focal = np.array(
-            [
-                view.image_width / tan_x / 2.0,
-                view.image_height / tan_y / 2.0,
-            ],
+            [view.image_width / tan_x / 2.0, view.image_height / tan_y / 2.0],
             np.float32,
         )
         half = np.array(
@@ -90,68 +92,107 @@ class Camera:
 
 
 class ProjectionOutput(NamedTuple):
-    """Per-point projection results ([P]-shaped, masked by ``visible``)."""
+    """Per-point projection results, structure-of-arrays ([P] components)."""
 
-    colors_rgb_3d: jax.Array  # [P, 3] clamped >= 0 (differentiable)
-    conics: jax.Array  # [P, 3] inverse 2D covariance (xx, xy, yy) (diff.)
-    positions_2d: jax.Array  # [P, 2] screen positions (differentiable)
+    color_r: jax.Array  # [P] clamped >= 0 (differentiable)
+    color_g: jax.Array
+    color_b: jax.Array
+    conic_xx: jax.Array  # [P] inverse 2D covariance (differentiable)
+    conic_xy: jax.Array
+    conic_yy: jax.Array
+    pos2d_x: jax.Array  # [P] screen position (differentiable)
+    pos2d_y: jax.Array
     depths: jax.Array  # [P] view depths
     radii: jax.Array  # [P] int32, 0 for culled points
-    tile_bounds: jax.Array  # [P, 4] int32 (x_max, x_min, y_max, y_min)
+    tile_x_max: jax.Array  # [P] int32 touched-tile AABB
+    tile_x_min: jax.Array
+    tile_y_max: jax.Array
+    tile_y_min: jax.Array
     tile_counts: jax.Array  # [P] int32 touched-tile counts (0 if culled)
     visible: jax.Array  # [P] bool
+
+    # Convenience AoS views (materialize padded [P, k] arrays — tests /
+    # small scenes only; the pipeline consumes the components directly).
+    @property
+    def colors_rgb_3d(self) -> jax.Array:
+        return jnp.stack([self.color_r, self.color_g, self.color_b], -1)
+
+    @property
+    def conics(self) -> jax.Array:
+        return jnp.stack([self.conic_xx, self.conic_xy, self.conic_yy], -1)
+
+    @property
+    def positions_2d(self) -> jax.Array:
+        return jnp.stack([self.pos2d_x, self.pos2d_y], -1)
+
+    @property
+    def tile_bounds(self) -> jax.Array:
+        return jnp.stack(
+            [self.tile_x_max, self.tile_x_min, self.tile_y_max, self.tile_y_min],
+            -1,
+        )
+
+
+def quat_to_rotmat_components(qx, qy, qz, qw):
+    """Normalized quaternion components -> the 9 rotation-matrix entries
+    (row-major r[i][j]), all elementwise."""
+    xx, yy, zz = qx * qx, qy * qy, qz * qz
+    xy, xz, yz = qx * qy, qx * qz, qy * qz
+    wx, wy, wz = qw * qx, qw * qy, qw * qz
+    two = jnp.float32(2.0)
+    half = jnp.float32(0.5)
+    return (
+        two * (half - yy - zz), two * (xy - wz), two * (xz + wy),
+        two * (xy + wz), two * (half - xx - zz), two * (yz - wx),
+        two * (xz - wy), two * (yz + wx), two * (half - xx - yy),
+    )
 
 
 def quat_to_rotmat(q: jax.Array) -> jax.Array:
     """Normalized quaternion (x, y, z, w) [..., 4] -> rotation [..., 3, 3]."""
-    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-    xx, yy, zz = x * x, y * y, z * z
-    xy, xz, yz = x * y, x * z, y * z
-    wx, wy, wz = w * x, w * y, w * z
-    half = jnp.float32(0.5)
+    r = quat_to_rotmat_components(q[..., 0], q[..., 1], q[..., 2], q[..., 3])
     rows = jnp.stack(
-        [
-            jnp.stack([(half - yy - zz), (xy - wz), (xz + wy)], axis=-1),
-            jnp.stack([(xy + wz), (half - xx - zz), (yz - wx)], axis=-1),
-            jnp.stack([(xz - wy), (yz + wx), (half - xx - yy)], axis=-1),
-        ],
+        [jnp.stack(r[0:3], -1), jnp.stack(r[3:6], -1), jnp.stack(r[6:9], -1)],
         axis=-2,
     )
-    return rows * jnp.float32(2.0)
+    return rows
 
 
-def eval_sh(colors_sh: jax.Array, view_dir: jax.Array, degree: int) -> jax.Array:
-    """Evaluate real SH (degree 0..3) toward ``view_dir``.
+def eval_sh(colors_sh: jax.Array, vx, vy, vz, degree: int):
+    """Evaluate real SH (degree 0..3) toward the unit view direction.
 
-    ``colors_sh``: [P, 48] ([P, M, 3] flattened); ``view_dir``: [P, 3] unit.
-    Returns raw RGB (before the +0.5 offset), [P, 3].
+    ``colors_sh``: [P, 48] ([P, M, 3] flattened); ``vx/vy/vz``: [P].
+    Returns (r, g, b) raw components (before the +0.5 offset).
     """
-    p = colors_sh.shape[0]
-    sh = colors_sh.reshape(p, 16, 3)
-    out = sh[:, 0] * jnp.float32(_SH_C0[0])
+
+    def coef(m):  # [P, 3] slice of coefficient m
+        return colors_sh[:, 3 * m : 3 * m + 3]
+
+    def accum(out, m, basis):  # out: [P, 3]; basis: [P]
+        return out + coef(m) * basis[:, None]
+
+    out = coef(0) * jnp.float32(_SH_C0[0])
     if degree >= 1:
-        vx, vy, vz = view_dir[:, 0:1], view_dir[:, 1:2], view_dir[:, 2:3]
-        out = out + sh[:, 1] * (jnp.float32(_SH_C1[0]) * vy)
-        out = out + sh[:, 2] * (jnp.float32(_SH_C1[1]) * vz)
-        out = out + sh[:, 3] * (jnp.float32(_SH_C1[2]) * vx)
+        out = accum(out, 1, jnp.float32(_SH_C1[0]) * vy)
+        out = accum(out, 2, jnp.float32(_SH_C1[1]) * vz)
+        out = accum(out, 3, jnp.float32(_SH_C1[2]) * vx)
     if degree >= 2:
-        xy, yz, xz = vx * vy, vy * vz, vx * vz
         xx, yy, zz = vx * vx, vy * vy, vz * vz
-        out = out + sh[:, 4] * (jnp.float32(_SH_C2[0]) * xy)
-        out = out + sh[:, 5] * (jnp.float32(_SH_C2[1]) * yz)
-        out = out + sh[:, 6] * (jnp.float32(_SH_C2[2]) * (zz * 3.0 - 1.0))
-        out = out + sh[:, 7] * (jnp.float32(_SH_C2[3]) * xz)
-        out = out + sh[:, 8] * (jnp.float32(_SH_C2[4]) * (xx - yy))
+        out = accum(out, 4, jnp.float32(_SH_C2[0]) * (vx * vy))
+        out = accum(out, 5, jnp.float32(_SH_C2[1]) * (vy * vz))
+        out = accum(out, 6, jnp.float32(_SH_C2[2]) * (zz * 3.0 - 1.0))
+        out = accum(out, 7, jnp.float32(_SH_C2[3]) * (vx * vz))
+        out = accum(out, 8, jnp.float32(_SH_C2[4]) * (xx - yy))
     if degree >= 3:
         zz_5_1 = zz * 5.0 - 1.0
-        out = out + sh[:, 9] * (jnp.float32(_SH_C3[0]) * (vy * (xx * 3.0 - yy)))
-        out = out + sh[:, 10] * (jnp.float32(_SH_C3[1]) * (vz * xy))
-        out = out + sh[:, 11] * (jnp.float32(_SH_C3[2]) * (vy * zz_5_1))
-        out = out + sh[:, 12] * (jnp.float32(_SH_C3[3]) * (vz * (zz_5_1 - 2.0)))
-        out = out + sh[:, 13] * (jnp.float32(_SH_C3[4]) * (vx * zz_5_1))
-        out = out + sh[:, 14] * (jnp.float32(_SH_C3[5]) * (vz * (xx - yy)))
-        out = out + sh[:, 15] * (jnp.float32(_SH_C3[6]) * (vx * (xx - yy * 3.0)))
-    return out
+        out = accum(out, 9, jnp.float32(_SH_C3[0]) * (vy * (xx * 3.0 - yy)))
+        out = accum(out, 10, jnp.float32(_SH_C3[1]) * (vz * vx * vy))
+        out = accum(out, 11, jnp.float32(_SH_C3[2]) * (vy * zz_5_1))
+        out = accum(out, 12, jnp.float32(_SH_C3[3]) * (vz * (zz_5_1 - 2.0)))
+        out = accum(out, 13, jnp.float32(_SH_C3[4]) * (vx * zz_5_1))
+        out = accum(out, 14, jnp.float32(_SH_C3[5]) * (vz * (xx - yy)))
+        out = accum(out, 15, jnp.float32(_SH_C3[6]) * (vx * (xx - yy * 3.0)))
+    return out[:, 0], out[:, 1], out[:, 2]
 
 
 def project_gaussians(
@@ -173,120 +214,145 @@ def project_gaussians(
     """
     f32 = jnp.float32
     one = f32(1.0)
-    # The 3x3 contractions below must run at full f32 (TPU default matmul
-    # precision is bf16; these are tiny and parity-critical).
-    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+    # Camera scalars/rows (tiny; broadcast against [P] columns).
+    rv = camera.view_rotation  # [3, 3] row-major
+    tv = camera.view_translation
+    fx, fy = camera.focal_length[0], camera.focal_length[1]
+    bx, by = camera.view_bound[0], camera.view_bound[1]
+
+    px, py, pz = positions[:, 0], positions[:, 1], positions[:, 2]
 
     # World -> view (transform/kernel.wgsl:134-146).
-    p_view = mm(positions, camera.view_rotation.T) + camera.view_translation
-    depth = p_view[:, 2]
+    pv_x = rv[0, 0] * px + rv[0, 1] * py + rv[0, 2] * pz + tv[0]
+    pv_y = rv[1, 0] * px + rv[1, 1] * py + rv[1, 2] * pz + tv[1]
+    depth = rv[2, 0] * px + rv[2, 1] * py + rv[2, 2] * pz + tv[2]
     depth_ok = (depth >= f32(DEPTH_MIN)) & (depth < f32(DEPTH_MAX))
     depth_safe = jnp.where(depth_ok, depth, one)
 
     # Quaternion -> rotation matrix, with zero-quaternion cull (:148-169).
-    quat_norm_sq = jnp.sum(rotations * rotations, axis=-1)
-    quat_ok = quat_norm_sq > f32(0.0)
-    quat_safe = jnp.where(
-        quat_ok[:, None], rotations, jnp.array([0, 0, 0, 1], f32)
+    qx, qy, qz, qw = (
+        rotations[:, 0], rotations[:, 1], rotations[:, 2], rotations[:, 3],
     )
-    quat = quat_safe / jnp.sqrt(jnp.sum(quat_safe * quat_safe, -1, keepdims=True))
-    rot_mat = quat_to_rotmat(quat)  # [P, 3, 3]
+    quat_norm_sq = qx * qx + qy * qy + qz * qz + qw * qw
+    quat_ok = quat_norm_sq > f32(0.0)
+    inv_norm = jax.lax.rsqrt(jnp.where(quat_ok, quat_norm_sq, one))
+    qx, qy, qz = qx * inv_norm, qy * inv_norm, qz * inv_norm
+    qw = jnp.where(quat_ok, qw * inv_norm, one)
+    r = quat_to_rotmat_components(qx, qy, qz, qw)  # 9 x [P], row-major
 
-    # 3D covariance from rotation and (log-)scaling (:171-199).
-    scale = jnp.exp(scalings)  # outer scaling
-    rs = rot_mat * scale[:, None, :]  # R @ diag(s)
-    cov3d = mm(rs, jnp.swapaxes(rs, -1, -2))  # [P, 3, 3]
+    # 3D covariance Sigma = R diag(s^2) R^T, symmetric 6 components
+    # (:171-199). s = exp(inner scaling).
+    s0 = jnp.exp(scalings[:, 0])
+    s1 = jnp.exp(scalings[:, 1])
+    s2 = jnp.exp(scalings[:, 2])
+    v0, v1, v2 = s0 * s0, s1 * s1, s2 * s2
+
+    def sigma(i, j):
+        return (
+            v0 * r[3 * i + 0] * r[3 * j + 0]
+            + v1 * r[3 * i + 1] * r[3 * j + 1]
+            + v2 * r[3 * i + 2] * r[3 * j + 2]
+        )
+
+    s_xx, s_yy, s_zz = sigma(0, 0), sigma(1, 1), sigma(2, 2)
+    s_xy, s_xz, s_yz = sigma(0, 1), sigma(0, 2), sigma(1, 2)
 
     # Perspective projection with half-pixel center offset (:201-212).
-    normalized = p_view[:, 0:2] / depth_safe[:, None]
-    position_2d = (
-        normalized * camera.focal_length + camera.image_size_half - f32(0.5)
-    )
+    norm_x = pv_x / depth_safe
+    norm_y = pv_y / depth_safe
+    pos2d_x = norm_x * fx + camera.image_size_half[0] - f32(0.5)
+    pos2d_y = norm_y * fy + camera.image_size_half[1] - f32(0.5)
 
-    # EWA: T = J @ Rv with clamped normalized coords; Sigma' = T S T^t + C
-    # (:214-241). The clamp's gradient is masked, as in the reference.
-    focal_norm = camera.focal_length / depth_safe[:, None]  # [P, 2]
-    not_clamped = (normalized >= -camera.view_bound) & (
-        normalized <= camera.view_bound
-    )
-    norm_clamped = jnp.where(
-        not_clamped,
-        normalized,
-        jnp.clip(normalized, -camera.view_bound, camera.view_bound),
-    )
-    zeros = jnp.zeros_like(focal_norm[:, 0])
-    # J rows: [fx/z, 0, -fx/z * cx], [0, fy/z, -fy/z * cy]
-    j = jnp.stack(
-        [
-            jnp.stack([focal_norm[:, 0], zeros, -focal_norm[:, 0] * norm_clamped[:, 0]], -1),
-            jnp.stack([zeros, focal_norm[:, 1], -focal_norm[:, 1] * norm_clamped[:, 1]], -1),
-        ],
-        axis=-2,
-    )  # [P, 2, 3]
-    t = mm(j, camera.view_rotation)  # [P, 2, 3]
-    cov2d = mm(mm(t, cov3d), jnp.swapaxes(t, -1, -2))
-    cov2d = cov2d + f32(FILTER_LOW_PASS) * jnp.eye(2, dtype=jnp.float32)
+    # EWA: T = J @ Rv with clamped normalized coords (:214-241). The clamp's
+    # gradient is masked exactly as in the reference.
+    fz_x = fx / depth_safe
+    fz_y = fy / depth_safe
+    cx = jnp.where(norm_x < -bx, -bx, jnp.where(norm_x > bx, bx, norm_x))
+    cy = jnp.where(norm_y < -by, -by, jnp.where(norm_y > by, by, norm_y))
+    # T rows (2x3): t0k = fz_x (R[0,k] - cx R[2,k]); t1k = fz_y (R[1,k] - cy R[2,k])
+    t00 = fz_x * (rv[0, 0] - cx * rv[2, 0])
+    t01 = fz_x * (rv[0, 1] - cx * rv[2, 1])
+    t02 = fz_x * (rv[0, 2] - cx * rv[2, 2])
+    t10 = fz_y * (rv[1, 0] - cy * rv[2, 0])
+    t11 = fz_y * (rv[1, 1] - cy * rv[2, 1])
+    t12 = fz_y * (rv[1, 2] - cy * rv[2, 2])
+
+    # Sigma' = T Sigma T^T + C_f I, symmetric 3 components.
+    def quad(a0, a1, a2, b0, b1, b2):
+        return (
+            a0 * b0 * s_xx + a1 * b1 * s_yy + a2 * b2 * s_zz
+            + (a0 * b1 + a1 * b0) * s_xy
+            + (a0 * b2 + a2 * b0) * s_xz
+            + (a1 * b2 + a2 * b1) * s_yz
+        )
+
+    c_xx = quad(t00, t01, t02, t00, t01, t02) + f32(FILTER_LOW_PASS)
+    c_yy = quad(t10, t11, t12, t10, t11, t12) + f32(FILTER_LOW_PASS)
+    c_xy = quad(t00, t01, t02, t10, t11, t12)
 
     # Conic = inverse 2D covariance; det == 0 culls (:243-252).
-    c_xx, c_xy, c_yy = cov2d[:, 0, 0], cov2d[:, 0, 1], cov2d[:, 1, 1]
     det = c_xx * c_yy - c_xy * c_xy
     det_ok = det != f32(0.0)
     det_safe = jnp.where(det_ok, det, one)
-    conic = jnp.stack([c_yy, -c_xy, c_xx], axis=-1) / det_safe[:, None]
+    conic_xx = c_yy / det_safe
+    conic_xy = -c_xy / det_safe
+    conic_yy = c_xx / det_safe
 
     # Radius from the max eigenvalue (:254-284).
-    mid = (c_xx + c_yy) / f32(2.0)
+    mid = (c_xx + c_yy) * f32(0.5)
     eig_diff = jnp.sqrt(jnp.maximum(mid * mid - det, f32(0.0)))
     eig_max = jnp.maximum(mid + eig_diff, mid - eig_diff)
     radius = jnp.ceil(jnp.sqrt(jnp.maximum(eig_max, f32(0.0))) * f32(FACTOR_RADIUS))
 
     # Touched-tile AABB, truncated toward zero then clamped (:286-306).
-    px, py = position_2d[:, 0], position_2d[:, 1]
     tsx, tsy = f32(TILE_SIZE_X), f32(TILE_SIZE_Y)
-    x_max = jnp.clip(((px + radius + (tsx - 1.0)) / tsx).astype(jnp.int32), 0, tile_count_x)
-    x_min = jnp.clip(((px - radius) / tsx).astype(jnp.int32), 0, tile_count_x)
-    y_max = jnp.clip(((py + radius + (tsy - 1.0)) / tsy).astype(jnp.int32), 0, tile_count_y)
-    y_min = jnp.clip(((py - radius) / tsy).astype(jnp.int32), 0, tile_count_y)
+    x_max = jnp.clip(
+        ((pos2d_x + radius + (tsx - 1.0)) / tsx).astype(jnp.int32), 0, tile_count_x
+    )
+    x_min = jnp.clip(((pos2d_x - radius) / tsx).astype(jnp.int32), 0, tile_count_x)
+    y_max = jnp.clip(
+        ((pos2d_y + radius + (tsy - 1.0)) / tsy).astype(jnp.int32), 0, tile_count_y
+    )
+    y_min = jnp.clip(((pos2d_y - radius) / tsy).astype(jnp.int32), 0, tile_count_y)
     tile_count = (x_max - x_min) * (y_max - y_min)
     tiles_ok = tile_count > 0
 
     # View direction for SH (:314-323); zero-offset cull.
-    view_offset = positions - camera.view_position
-    offset_norm_sq = jnp.sum(view_offset * view_offset, axis=-1)
+    ox = px - camera.view_position[0]
+    oy = py - camera.view_position[1]
+    oz = pz - camera.view_position[2]
+    offset_norm_sq = ox * ox + oy * oy + oz * oz
     offset_ok = offset_norm_sq > f32(0.0)
-    offset_safe = jnp.where(
-        offset_ok[:, None], view_offset, jnp.array([0, 0, 1], f32)
-    )
-    view_dir = offset_safe / jnp.sqrt(
-        jnp.sum(offset_safe * offset_safe, -1, keepdims=True)
-    )
+    inv_off = jax.lax.rsqrt(jnp.where(offset_ok, offset_norm_sq, one))
+    vx = jnp.where(offset_ok, ox * inv_off, f32(0.0))
+    vy = jnp.where(offset_ok, oy * inv_off, f32(0.0))
+    vz = jnp.where(offset_ok, oz * inv_off, one)
 
     # SH -> RGB, +0.5 offset, clamp at zero with gradient mask (:336-392).
-    color = eval_sh(colors_sh, view_dir, sh_degree) + f32(0.5)
-    color_not_clamped = color >= f32(0.0)
-    color = jnp.where(color_not_clamped, color, f32(0.0))
-
+    raw_r, raw_g, raw_b = eval_sh(colors_sh, vx, vy, vz, sh_degree)
     visible = depth_ok & quat_ok & det_ok & tiles_ok & offset_ok
-    vis_f = visible.astype(jnp.float32)[:, None]
+    vis_f = visible.astype(jnp.float32)
 
-    # Mask culled points: zero gradients, radii == 0, tile counts == 0.
-    colors_rgb_3d = color * vis_f
-    conics = conic * vis_f
-    positions_2d = position_2d * vis_f
-    radii = jnp.where(visible, radius.astype(jnp.int32), 0)
-    tile_counts = jnp.where(visible, tile_count, 0)
-    tile_bounds = jnp.stack([x_max, x_min, y_max, y_min], axis=-1) * visible[
-        :, None
-    ].astype(jnp.int32)
-    depths = jnp.where(visible, depth, f32(0.0))
+    def clamp_color(c):
+        c = c + f32(0.5)
+        return jnp.where(c >= f32(0.0), c, f32(0.0)) * vis_f
 
     return ProjectionOutput(
-        colors_rgb_3d=colors_rgb_3d,
-        conics=conics,
-        positions_2d=positions_2d,
-        depths=depths,
-        radii=radii,
-        tile_bounds=tile_bounds,
-        tile_counts=tile_counts,
+        color_r=clamp_color(raw_r),
+        color_g=clamp_color(raw_g),
+        color_b=clamp_color(raw_b),
+        conic_xx=conic_xx * vis_f,
+        conic_xy=conic_xy * vis_f,
+        conic_yy=conic_yy * vis_f,
+        pos2d_x=pos2d_x * vis_f,
+        pos2d_y=pos2d_y * vis_f,
+        depths=jnp.where(visible, depth, f32(0.0)),
+        radii=jnp.where(visible, radius.astype(jnp.int32), 0),
+        tile_x_max=jnp.where(visible, x_max, 0),
+        tile_x_min=jnp.where(visible, x_min, 0),
+        tile_y_max=jnp.where(visible, y_max, 0),
+        tile_y_min=jnp.where(visible, y_min, 0),
+        tile_counts=jnp.where(visible, tile_count, 0),
         visible=visible,
     )

@@ -63,9 +63,15 @@ DEFAULT_BLOCK_SIZE = 256
 
 
 class TileBlocks(NamedTuple):
-    """Block-aligned tile segments of the sorted entry list."""
+    """Block-aligned tile segments of the sorted entry list.
 
-    entry_data: jax.Array  # [NB * B, 9] packed per-entry point data
+    ``entry_data`` is stored transposed ([9, NB * B], components on the
+    leading axis): under TPU (8, 128) tiling a ``[N, 9]`` layout pads the
+    trailing dim to 128 lanes (14x HBM blowup at production entry counts),
+    while ``[9, N]`` pads only 9 -> 16 sublanes.
+    """
+
+    entry_data: jax.Array  # [9, NB * B] packed per-entry point data
     entry_point: jax.Array  # [NB * B] int32 source point (P = padding)
     tile_of_block: jax.Array  # [NB] int32
     block_pos: jax.Array  # [NB] int32 position of block within its tile
@@ -74,7 +80,7 @@ class TileBlocks(NamedTuple):
 
 
 def build_tile_blocks(
-    point_data: jax.Array,  # [P, 9] packed per-point rasterization data
+    point_data: jax.Array,  # [9, P + 1] packed per-point data (pad row last)
     sorted_point_indices: jax.Array,  # [capacity] int32 (P = padding)
     tile_ranges: jax.Array,  # [num_tiles, 2]
     *,
@@ -86,7 +92,7 @@ def build_tile_blocks(
     rounds its entry count up to a multiple of ``B``, minimum one block).
     """
     b = block_size
-    p = point_data.shape[0]
+    p = point_data.shape[1] - 1
     capacity = sorted_point_indices.shape[0]
     num_tiles = tile_ranges.shape[0]
     nb_max = capacity // b + num_tiles
@@ -119,10 +125,7 @@ def build_tile_blocks(
         jnp.int32(p),
     )
 
-    padded = jnp.concatenate(
-        [point_data, jnp.zeros((1, point_data.shape[1]), point_data.dtype)]
-    )
-    entry_data = padded[entry_point]
+    entry_data = point_data[:, entry_point]  # [9, NB * B]
 
     block_valid = jnp.where(
         in_range,
@@ -140,16 +143,22 @@ def build_tile_blocks(
     )
 
 
-def pack_point_data(
-    colors_rgb_3d: jax.Array,  # [P, 3]
-    conics: jax.Array,  # [P, 3]
-    opacities_outer: jax.Array,  # [P, 1] post-sigmoid
-    positions_2d: jax.Array,  # [P, 2]
-) -> jax.Array:
-    """Pack per-point rasterization inputs into the canonical [P, 9] rows."""
-    return jnp.concatenate(
-        [colors_rgb_3d, conics, opacities_outer, positions_2d], axis=-1
+def pack_point_data(proj, opacities_outer: jax.Array) -> jax.Array:
+    """Pack per-point rasterization inputs into transposed [9, P + 1] rows
+    (canonical component order; the last column is the zero padding point).
+
+    ``proj``: a ProjectionOutput (structure-of-arrays components).
+    ``opacities_outer``: [P] post-sigmoid opacities.
+    """
+    rows = jnp.stack(
+        [
+            proj.color_r, proj.color_g, proj.color_b,
+            proj.conic_xx, proj.conic_xy, proj.conic_yy,
+            opacities_outer,
+            proj.pos2d_x, proj.pos2d_y,
+        ]
     ).astype(jnp.float32)
+    return jnp.pad(rows, ((0, 0), (0, 1)))
 
 
 def _pixel_coords(tile_index, tile_count_x):
@@ -193,7 +202,7 @@ def _forward_kernel(
 
     @pl.when(jnp.logical_not(skip))
     def _():
-        entries = EntryBlock.from_rows(entry_ref[...])
+        entries = EntryBlock.from_rows(entry_ref[...].T)
         pix_x, pix_y = _pixel_coords(tob_ref[i], tile_count_x)
         state = ForwardState(
             color=image_ref[...],
@@ -226,7 +235,7 @@ def rasterize_forward_pallas(
         num_scalar_prefetch=3,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((b, ENTRY_COLUMNS), lambda i, tob, bpos, bval: (i, 0)),
+            pl.BlockSpec((ENTRY_COLUMNS, b), lambda i, tob, bpos, bval: (0, i)),
         ],
         out_specs=[
             pl.BlockSpec(
@@ -309,7 +318,7 @@ def _backward_kernel(
 
     @pl.when(jnp.logical_not(skip))
     def _():
-        entries = EntryBlock.from_rows(entry_ref[...])
+        entries = EntryBlock.from_rows(entry_ref[...].T)
         pix_x, pix_y = _pixel_coords(tob_ref[i], tile_count_x)
         state = BackwardState(
             transmittance=trans_ref[...], grad_prefix=prefix_ref[...]
@@ -328,7 +337,7 @@ def _backward_kernel(
         prefix_ref[...] = new_state.grad_prefix
         out_ref[...] = jnp.concatenate(
             [grads.color, grads.conic, grads.opacity, grads.pos_2d], axis=-1
-        )
+        ).T
 
 
 def rasterize_backward_pallas(
@@ -340,7 +349,7 @@ def rasterize_backward_pallas(
     tile_count_x: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns per-entry gradients [NB * B, 9]."""
+    """Returns per-entry gradients, transposed [9, NB * B]."""
     b = blocks.block_size
     nb = blocks.tile_of_block.shape[0]
 
@@ -348,7 +357,7 @@ def rasterize_backward_pallas(
         num_scalar_prefetch=3,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((b, ENTRY_COLUMNS), lambda i, tob, bpos, bval: (i, 0)),
+            pl.BlockSpec((ENTRY_COLUMNS, b), lambda i, tob, bpos, bval: (0, i)),
             pl.BlockSpec(
                 (1, 3, PIXELS_PER_TILE), lambda i, tob, bpos, bval: (tob[i], 0, 0)
             ),
@@ -360,7 +369,7 @@ def rasterize_backward_pallas(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (b, ENTRY_COLUMNS), lambda i, tob, bpos, bval: (i, 0)
+            (ENTRY_COLUMNS, b), lambda i, tob, bpos, bval: (0, i)
         ),
         scratch_shapes=[
             pltpu.VMEM((1, PIXELS_PER_TILE), jnp.float32),
@@ -387,7 +396,7 @@ def rasterize_backward_pallas(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb * b, ENTRY_COLUMNS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ENTRY_COLUMNS, nb * b), jnp.float32),
         interpret=interpret,
     )(
         blocks.tile_of_block,
@@ -419,7 +428,7 @@ def _match_vma(tree, ref):
 def rasterize_forward_xla(blocks: TileBlocks, *, num_tiles: int, tile_count_x: int):
     b = blocks.block_size
     nb = blocks.tile_of_block.shape[0]
-    entry = blocks.entry_data.reshape(nb, b, ENTRY_COLUMNS)
+    entry = blocks.entry_data.reshape(ENTRY_COLUMNS, nb, b).transpose(1, 2, 0)
 
     init = _match_vma(
         (
@@ -473,7 +482,7 @@ def rasterize_backward_xla(
 ) -> jax.Array:
     b = blocks.block_size
     nb = blocks.tile_of_block.shape[0]
-    entry = blocks.entry_data.reshape(nb, b, ENTRY_COLUMNS)
+    entry = blocks.entry_data.reshape(ENTRY_COLUMNS, nb, b).transpose(1, 2, 0)
 
     init = _match_vma(
         (
@@ -523,7 +532,7 @@ def rasterize_backward_xla(
     _, outs = jax.lax.scan(
         step, init, (entry, blocks.tile_of_block, blocks.block_pos)
     )
-    return outs.reshape(nb * b, ENTRY_COLUMNS)
+    return outs.transpose(2, 0, 1).reshape(ENTRY_COLUMNS, nb * b)
 
 
 # --- tiled <-> image layout helpers --------------------------------------------

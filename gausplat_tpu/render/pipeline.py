@@ -128,45 +128,49 @@ def _build_render_fn(
     num_tiles = tile_count_x * tile_count_y
 
     def _forward_internals(colors_sh, opacities, positions, rotations, scalings, camera):
-        proj = project_gaussians(
-            colors_sh,
-            positions,
-            rotations,
-            scalings,
-            camera,
-            sh_degree=sh_degree,
-            tile_count_x=tile_count_x,
-            tile_count_y=tile_count_y,
-        )
-        binning = bin_gaussians(
-            proj.depths,
-            proj.tile_bounds,
-            proj.tile_counts,
-            tile_count_x=tile_count_x,
-            tile_count_y=tile_count_y,
-            capacity=capacity,
-        )
-        opac_outer = jax.nn.sigmoid(opacities)
-        point_data = pack_point_data(
-            proj.colors_rgb_3d, proj.conics, opac_outer, proj.positions_2d
-        )
-        blocks = build_tile_blocks(
-            point_data,
-            binning.point_indices,
-            binning.tile_ranges,
-            block_size=block_size,
-        )
-        if backend == "pallas":
-            image_tiles, trans_tiles, count_tiles = rasterize_forward_pallas(
-                blocks,
-                num_tiles=num_tiles,
+        with jax.named_scope("gausplat.project"):
+            proj = project_gaussians(
+                colors_sh,
+                positions,
+                rotations,
+                scalings,
+                camera,
+                sh_degree=sh_degree,
                 tile_count_x=tile_count_x,
-                interpret=interpret,
+                tile_count_y=tile_count_y,
             )
-        else:
-            image_tiles, trans_tiles, count_tiles = rasterize_forward_xla(
-                blocks, num_tiles=num_tiles, tile_count_x=tile_count_x
+        with jax.named_scope("gausplat.bin"):
+            binning = bin_gaussians(
+                proj.depths,
+                proj.tile_x_max,
+                proj.tile_x_min,
+                proj.tile_y_min,
+                proj.tile_counts,
+                tile_count_x=tile_count_x,
+                tile_count_y=tile_count_y,
+                capacity=capacity,
             )
+        with jax.named_scope("gausplat.gather_blocks"):
+            opac_outer = jax.nn.sigmoid(opacities[:, 0])
+            point_data = pack_point_data(proj, opac_outer)
+            blocks = build_tile_blocks(
+                point_data,
+                binning.point_indices,
+                binning.tile_ranges,
+                block_size=block_size,
+            )
+        with jax.named_scope("gausplat.rasterize"):
+            if backend == "pallas":
+                image_tiles, trans_tiles, count_tiles = rasterize_forward_pallas(
+                    blocks,
+                    num_tiles=num_tiles,
+                    tile_count_x=tile_count_x,
+                    interpret=interpret,
+                )
+            else:
+                image_tiles, trans_tiles, count_tiles = rasterize_forward_xla(
+                    blocks, num_tiles=num_tiles, tile_count_x=tile_count_x
+                )
         return proj, binning, blocks, image_tiles, trans_tiles, count_tiles
 
     @jax.custom_vjp
@@ -240,18 +244,18 @@ def _build_render_fn(
 
         # Deterministic gradient accumulation over duplicated entries
         # (replaces atomicAdd: rasterize_backward/kernel.wgsl:255-269).
-        per_point = jax.ops.segment_sum(
-            entry_grads, blocks.entry_point, num_segments=point_count + 1
-        )[:point_count]
-        d_color = per_point[:, 0:3]
-        d_conic = per_point[:, 3:6]
-        d_op_outer = per_point[:, 6:7]
-        d_pos2d = per_point[:, 7:9]
+        # One 1-D segment_sum per component keeps everything unpadded.
+        d_comp = [
+            jax.ops.segment_sum(
+                entry_grads[c], blocks.entry_point, num_segments=point_count + 1
+            )[:point_count]
+            for c in range(entry_grads.shape[0])
+        ]
 
         # Opacity: chain through the sigmoid (the reference applies it
         # in-kernel, rasterize_backward/kernel.wgsl:229).
-        op_outer = jax.nn.sigmoid(opacities)
-        d_opacities = op_outer * (1.0 - op_outer) * d_op_outer
+        op_outer = jax.nn.sigmoid(opacities[:, 0])
+        d_opacities = (op_outer * (1.0 - op_outer) * d_comp[6])[:, None]
 
         # Projection gradients via VJP of the pure-jnp projection.
         def proj_diff(csh, pos, rot, scal):
@@ -261,17 +265,22 @@ def _build_render_fn(
                 tile_count_x=tile_count_x,
                 tile_count_y=tile_count_y,
             )
-            return p.colors_rgb_3d, p.conics, p.positions_2d
+            return (
+                p.color_r, p.color_g, p.color_b,
+                p.conic_xx, p.conic_xy, p.conic_yy,
+                p.pos2d_x, p.pos2d_y,
+            )
 
         _, vjp_fn = jax.vjp(proj_diff, colors_sh, positions, rotations, scalings)
         d_colors_sh, d_positions, d_rotations, d_scalings = vjp_fn(
-            (d_color, d_conic, d_pos2d)
+            tuple(d_comp[0:6]) + tuple(d_comp[7:9])
         )
 
         # Densification signal (transform_backward/kernel.wgsl:364-370):
         # || dL/d pos2d * [I_x / 2, I_y / 2] ||, in half-pixel units.
         grad_norm = jnp.sqrt(
-            jnp.sum((d_pos2d * camera.image_size_half) ** 2, axis=-1)
+            (d_comp[7] * camera.image_size_half[0]) ** 2
+            + (d_comp[8] * camera.image_size_half[1]) ** 2
         )
 
         zero_camera = jax.tree_util.tree_map(jnp.zeros_like, camera)

@@ -73,7 +73,9 @@ def test_expansion_matches_naive():
     capacity = 257  # deliberately not a power of two
     keys, idx, total = make_point_orders(
         jnp.asarray(depths),
-        jnp.asarray(bounds),
+        jnp.asarray(bounds[:, 0]),
+        jnp.asarray(bounds[:, 1]),
+        jnp.asarray(bounds[:, 3]),
         jnp.asarray(counts),
         tile_count_x=tcx,
         capacity=capacity,
@@ -113,10 +115,12 @@ def test_sort_stable_and_ranges():
 
 def test_bin_gaussians_overflow_detection():
     depths = jnp.asarray(np.full(16, 1.0, np.float32))
-    bounds = jnp.asarray(np.tile([4, 0, 4, 0], (16, 1)).astype(np.int32))
+    full4 = jnp.asarray(np.full(16, 4, np.int32))
+    zero = jnp.asarray(np.zeros(16, np.int32))
     counts = jnp.asarray(np.full(16, 16, np.int32))
     out = bin_gaussians(
-        depths, bounds, counts, tile_count_x=4, tile_count_y=4, capacity=64
+        depths, full4, zero, zero, counts,
+        tile_count_x=4, tile_count_y=4, capacity=64,
     )
     assert int(out.total) == 256  # true total reported even past capacity
     assert out.point_indices.shape == (64,)

@@ -66,21 +66,20 @@ def _forward_pieces(seed=3):
     )
     binning = bin_gaussians(
         proj.depths,
-        proj.tile_bounds,
+        proj.tile_x_max,
+        proj.tile_x_min,
+        proj.tile_y_min,
         proj.tile_counts,
         tile_count_x=TCX,
         tile_count_y=TCY,
         capacity=CAP,
     )
-    pd = pack_point_data(
-        proj.colors_rgb_3d,
-        proj.conics,
-        jax.nn.sigmoid(jnp.asarray(op_inner)),
-        proj.positions_2d,
-    )
+    pd_t = pack_point_data(proj, jax.nn.sigmoid(jnp.asarray(op_inner[:, 0])))
     blocks = build_tile_blocks(
-        pd, binning.point_indices, binning.tile_ranges, block_size=B
+        pd_t, binning.point_indices, binning.tile_ranges, block_size=B
     )
+    # AoS [P, 9] view for the NumPy oracle.
+    pd = np.asarray(pd_t).T[:P]
     return pd, binning, blocks
 
 
@@ -112,7 +111,7 @@ def test_backward_matches_oracle():
     gt = tile_image(jnp.asarray(gimg), TCX, TCY)
     gdotc = jnp.sum(gt * it, axis=1)
     eg = rasterize_backward_xla(blocks, gt, gdotc, ct, tile_count_x=TCX)
-    pp = jax.ops.segment_sum(eg, blocks.entry_point, num_segments=P + 1)[:P]
+    pp = jax.ops.segment_sum(eg.T, blocks.entry_point, num_segments=P + 1)[:P]
 
     ocnt = np.asarray(untile_map(ct, TCX, TCY, W, H))
     otr = np.asarray(untile_map(tt, TCX, TCY, W, H))
@@ -145,14 +144,13 @@ def test_custom_vjp_matches_autodiff():
             csh, pos, rot, scal, cam, sh_degree=3, tile_count_x=TCX, tile_count_y=TCY
         )
         binning = bin_gaussians(
-            proj.depths, proj.tile_bounds, proj.tile_counts,
+            proj.depths, proj.tile_x_max, proj.tile_x_min, proj.tile_y_min,
+            proj.tile_counts,
             tile_count_x=TCX, tile_count_y=TCY, capacity=CAP,
         )
-        pd = pack_point_data(
-            proj.colors_rgb_3d, proj.conics, jax.nn.sigmoid(op), proj.positions_2d
-        )
+        pd_t = pack_point_data(proj, jax.nn.sigmoid(op[:, 0]))
         blocks = build_tile_blocks(
-            pd, binning.point_indices, binning.tile_ranges, block_size=B
+            pd_t, binning.point_indices, binning.tile_ranges, block_size=B
         )
         it, _, _ = rasterize_forward_xla(blocks, num_tiles=TCX * TCY, tile_count_x=TCX)
         return jnp.sum(untile_image(it, TCX, TCY, W, H) * gimg)
