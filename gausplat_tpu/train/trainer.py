@@ -44,6 +44,9 @@ class TrainConfig:
     densify_until: int = 15_000
     densify_interval: int = 100
     opacity_reset_interval: int = 3_000
+    #: Grow the tile-entry buffer when usage crosses this fraction.
+    capacity_grow_at: float = 0.85
+    capacity_grow_factor: float = 2.0
     optimizer: OptimizerConfig = OptimizerConfig()
     densify: DensifyConfig = DensifyConfig()
     render: RenderOptions = RenderOptions()
@@ -116,6 +119,11 @@ class Trainer:
         self.densify_state = DensifyState.zeros(scene.point_count)
         self._opt_state = None
         self._opt_point_count = -1
+        # Adaptive tile-entry capacity (the dynamic (tile, point) expansion
+        # under static shapes — SURVEY.md section 7 hard part (a)): start
+        # from the configured/estimated budget, grow on near-overflow with
+        # a recompile.
+        self._entry_capacity = _capacity(scene.point_count, config.render)
 
     # -- internals -------------------------------------------------------------
 
@@ -133,7 +141,7 @@ class Trainer:
             self.image_height,
             p,
             self._sh_degree(),
-            _capacity(p, r),
+            self._entry_capacity,
             r.block_size,
             _resolve_backend(r.backend),
             r.interpret,
@@ -157,6 +165,14 @@ class Trainer:
         self.step_count += 1
 
         c = self.config
+        # Overflow watch: grow the static entry buffer before it clips.
+        total = int(metrics["tile_point_total"])
+        if total > c.capacity_grow_at * self._entry_capacity:
+            b = c.render.block_size
+            new_cap = int(total * c.capacity_grow_factor)
+            self._entry_capacity = max(
+                (new_cap + b - 1) // b * b, self._entry_capacity
+            )
         in_densify_phase = (
             c.densify_from <= self.step_count < c.densify_until
         )
