@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import DEPTH_ORDER_OFFSET
+from .prefix import prefix_max, prefix_sum
 
 
 def searchsorted_right(sorted_arr: jax.Array, queries: jax.Array) -> jax.Array:
@@ -79,12 +80,14 @@ def spans_to_sources(
     scat = scat.at[jnp.where(nonempty, starts, capacity)].max(
         ids + 1, mode="drop"
     )
-    src = jax.lax.cummax(scat) - 1
+    src = prefix_max(scat) - 1
     return jnp.clip(src, 0, n - 1)
 
 
 class BinningOutput(NamedTuple):
     point_indices: jax.Array  # [capacity] int32, sorted by (tile, depth); P pads
+    entry_ids: jax.Array  # [capacity] int32 pre-sort (point-grouped) slot ids
+    point_offsets: jax.Array  # [P] int32 inclusive cumsum of touched-tile counts
     tile_ranges: jax.Array  # [num_tiles, 2] int32 (start, end) into the above
     total: jax.Array  # [] int32 true number of entries (may exceed capacity)
 
@@ -112,14 +115,14 @@ def make_point_orders(
     """Expand each visible point into one (key, point-index) entry per
     touched tile, at a static ``capacity``.
 
-    Returns ``(keys [capacity] uint32, point_indices [capacity] int32,
-    total [] int32)``. Padding entries have key ``0xFFFFFFFF`` and point
-    index ``P`` (one past the last point).
+    Returns ``(keys [capacity] uint32, src [capacity] int32 source point
+    per slot, offsets_inc [P] int32 inclusive count cumsum, total [] int32)``.
+    Padding slots have key ``0xFFFFFFFF``; their ``src`` is clipped.
     """
     p = depths.shape[0]
 
     # Exclusive cumsum of touched-tile counts (the reference scan kernel).
-    offsets_inc = jnp.cumsum(tile_counts, dtype=jnp.int32)
+    offsets_inc = prefix_sum(tile_counts.astype(jnp.int32))
     total = offsets_inc[-1] if p > 0 else jnp.int32(0)
     offsets = offsets_inc - tile_counts  # exclusive
 
@@ -129,21 +132,34 @@ def make_point_orders(
     src = spans_to_sources(offsets_inc, capacity)
     valid = entry_ids < jnp.minimum(total, jnp.int32(capacity))
 
+    # Pack the five per-point quantities the expansion needs into two
+    # int32 words so the random per-slot lookup is 2 gathers, not 5
+    # (random gathers dominate this stage on TPU).
+    # A = depth16 << 16 | width;  B = y_min << 16 | x_min.
+    width_pt = jnp.maximum(tile_x_max - tile_x_min, 1)
+    pack_a = (
+        (depth_to_order(depths).astype(jnp.int32) << jnp.int32(16))
+        | width_pt.astype(jnp.int32)
+    )
+    pack_b = (tile_y_min.astype(jnp.int32) << jnp.int32(16)) | tile_x_min.astype(
+        jnp.int32
+    )
+
+    a = pack_a[src]
+    b = pack_b[src]
+    depth16 = (a >> jnp.int32(16)).astype(jnp.uint32) & jnp.uint32(0xFFFF)
+    width = a & jnp.int32(0xFFFF)
+    y_min = b >> jnp.int32(16)
+    x_min = b & jnp.int32(0xFFFF)
+
     local = entry_ids - offsets[src]  # rank of e within its point's tiles
-    x_max = tile_x_max[src]
-    x_min = tile_x_min[src]
-    y_min = tile_y_min[src]
-    width = jnp.maximum(x_max - x_min, 1)
     tile_x = x_min + local % width
     tile_y = y_min + local // width
     tile_index = (tile_y * tile_count_x + tile_x).astype(jnp.uint32)
 
-    keys = (tile_index << jnp.uint32(16)) | depth_to_order(depths[src]).astype(
-        jnp.uint32
-    )
+    keys = (tile_index << jnp.uint32(16)) | depth16
     keys = jnp.where(valid, keys, jnp.uint32(0xFFFFFFFF))
-    point_indices = jnp.where(valid, src, jnp.int32(p))
-    return keys, point_indices, total
+    return keys, src, offsets_inc, total
 
 
 def sort_entries(
@@ -197,8 +213,15 @@ def bin_gaussians(
     tile_count_y: int,
     capacity: int,
 ) -> BinningOutput:
-    """Full binning pipeline: expand -> sort -> segment."""
-    keys, point_indices, total = make_point_orders(
+    """Full binning pipeline: expand -> sort -> segment.
+
+    The sort carries the *pre-sort slot id* as its value; pre-sort slots are
+    grouped contiguously by source point (slot e of point p lies in
+    [offsets[p-1], offsets[p])), which the backward pass exploits for a
+    scatter-free per-point gradient reduction.
+    """
+    p = depths.shape[0]
+    keys, src, offsets_inc, total = make_point_orders(
         depths,
         tile_x_max,
         tile_x_min,
@@ -207,10 +230,17 @@ def bin_gaussians(
         tile_count_x=tile_count_x,
         capacity=capacity,
     )
-    sorted_keys, sorted_indices = sort_entries(keys, point_indices)
+    entry_slots = jnp.arange(capacity, dtype=jnp.int32)
+    sorted_keys, sorted_slots = sort_entries(keys, entry_slots)
+    in_range = entry_slots < jnp.minimum(total, jnp.int32(capacity))
+    sorted_points = jnp.where(in_range, src[sorted_slots], jnp.int32(p))
     ranges = tile_ranges_from_keys(
         sorted_keys, total, num_tiles=tile_count_x * tile_count_y
     )
     return BinningOutput(
-        point_indices=sorted_indices, tile_ranges=ranges, total=total
+        point_indices=sorted_points,
+        entry_ids=sorted_slots,
+        point_offsets=offsets_inc,
+        tile_ranges=ranges,
+        total=total,
     )

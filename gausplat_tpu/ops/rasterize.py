@@ -42,6 +42,7 @@ from jax.experimental import pallas as pl
 
 from ..constants import TILE_SIZE_X, TILE_SIZE_Y
 from .binning import spans_to_sources
+from .prefix import prefix_sum
 from .blend import (
     ENTRY_COLUMNS,
     BackwardState,
@@ -73,6 +74,7 @@ class TileBlocks(NamedTuple):
 
     entry_data: jax.Array  # [9, NB * B] packed per-entry point data
     entry_point: jax.Array  # [NB * B] int32 source point (P = padding)
+    entry_unsorted: jax.Array  # [NB * B] int32 pre-sort slot (>=cap = padding)
     tile_of_block: jax.Array  # [NB] int32
     block_pos: jax.Array  # [NB] int32 position of block within its tile
     block_valid: jax.Array  # [NB] int32 count of real entries in the block
@@ -83,6 +85,7 @@ def build_tile_blocks(
     point_data: jax.Array,  # [9, P + 1] packed per-point data (pad row last)
     sorted_point_indices: jax.Array,  # [capacity] int32 (P = padding)
     tile_ranges: jax.Array,  # [num_tiles, 2]
+    sorted_entry_ids: jax.Array | None = None,  # [capacity] pre-sort slots
     *,
     block_size: int = DEFAULT_BLOCK_SIZE,
 ) -> TileBlocks:
@@ -99,7 +102,7 @@ def build_tile_blocks(
 
     counts = tile_ranges[:, 1] - tile_ranges[:, 0]
     blocks_per_tile = jnp.maximum((counts + b - 1) // b, 1)
-    blk_end = jnp.cumsum(blocks_per_tile)
+    blk_end = prefix_sum(blocks_per_tile)
     blk_start = blk_end - blocks_per_tile
     total_blocks = blk_end[-1]
 
@@ -119,11 +122,17 @@ def build_tile_blocks(
     tile = tile_of_block[blk]
     src = tile_ranges[tile, 0] + seg_pos
     valid = (seg_pos < counts[tile]) & (blk < total_blocks)
+    src_clipped = jnp.clip(src, 0, capacity - 1)
     entry_point = jnp.where(
-        valid,
-        sorted_point_indices[jnp.clip(src, 0, capacity - 1)],
-        jnp.int32(p),
+        valid, sorted_point_indices[src_clipped], jnp.int32(p)
     )
+    if sorted_entry_ids is None:
+        entry_unsorted = jnp.where(valid, src_clipped, capacity + entry_ids)
+    else:
+        # Pre-sort slot per aligned entry; unique out-of-range pad values.
+        entry_unsorted = jnp.where(
+            valid, sorted_entry_ids[src_clipped], capacity + entry_ids
+        )
 
     entry_data = point_data[:, entry_point]  # [9, NB * B]
 
@@ -136,6 +145,7 @@ def build_tile_blocks(
     return TileBlocks(
         entry_data=entry_data,
         entry_point=entry_point,
+        entry_unsorted=entry_unsorted,
         tile_of_block=tile_of_block,
         block_pos=block_pos,
         block_valid=block_valid,

@@ -71,7 +71,7 @@ def test_expansion_matches_naive():
     bounds = np.stack([x_max, x_min, y_max, y_min], -1).astype(np.int32)
 
     capacity = 257  # deliberately not a power of two
-    keys, idx, total = make_point_orders(
+    keys, src, offsets_inc, total = make_point_orders(
         jnp.asarray(depths),
         jnp.asarray(bounds[:, 0]),
         jnp.asarray(bounds[:, 1]),
@@ -84,9 +84,9 @@ def test_expansion_matches_naive():
     t = int(total)
     assert t == len(nkeys) and t <= capacity
     np.testing.assert_array_equal(np.asarray(keys[:t]).astype(np.uint64), nkeys)
-    np.testing.assert_array_equal(np.asarray(idx[:t]), nidx)
+    np.testing.assert_array_equal(np.asarray(src[:t]), nidx)
     assert np.all(np.asarray(keys[t:]) == 0xFFFFFFFF)
-    assert np.all(np.asarray(idx[t:]) == p)
+    np.testing.assert_array_equal(np.asarray(offsets_inc), np.cumsum(counts))
 
 
 def test_sort_stable_and_ranges():
