@@ -8,7 +8,7 @@ training loop with densification, and multi-chip rendering via
 ``jax.sharding``.
 """
 
-from . import constants, errors
+from . import constants, errors, ops, parallel, scene, train, utils
 from .constants import SH_COUNT_MAX, SH_DEGREE_MAX
 from .render.pipeline import render, RenderOptions, RenderOutput
 from .render.view import View, Views
@@ -31,5 +31,10 @@ __all__ = [
     "decode_polygon",
     "encode_polygon",
     "errors",
+    "ops",
+    "parallel",
     "render",
+    "scene",
+    "train",
+    "utils",
 ]
