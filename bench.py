@@ -66,12 +66,13 @@ def main():
 
     point_count = int(os.environ.get("BENCH_POINTS", 1_000_000))
     width, height = 1920, 1080
-    capacity = int(os.environ.get("BENCH_CAPACITY", 16_000_000))
+    capacity = int(os.environ.get("BENCH_CAPACITY", 4_194_304))
+    block_size = int(os.environ.get("BENCH_BLOCK", 256))
 
     scene, camera = _make_inputs(point_count, width, height)
     options = RenderOptions(tile_entry_capacity=capacity)
     fn = _build_render_fn(
-        width, height, point_count, 3, capacity, options.block_size,
+        width, height, point_count, 3, capacity, block_size,
         _resolve_backend(options.backend), False,
     )
     ref = jnp.zeros((point_count,), jnp.float32)

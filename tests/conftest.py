@@ -19,3 +19,12 @@ import jax  # noqa: E402
 if not os.environ.get("GAUSPLAT_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the suite is compile-dominated; caching
+# XLA executables across runs cuts it from ~24 min to a few minutes.
+import pathlib
+
+_cache_dir = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+_cache_dir.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
