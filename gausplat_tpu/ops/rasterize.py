@@ -22,8 +22,9 @@ blocks*, where
   ``[num_tiles, ...]``) use a scalar-prefetched ``block -> tile`` map in
   their index maps; consecutive blocks of one tile revisit the same output
   block in VMEM, which carries the blend state across batches;
-- gradients are written per *entry* and reduced with a deterministic
-  ``segment_sum`` over point indices — no atomics (SURVEY.md section 7);
+- gradients are written per *entry* and reduced deterministically (a
+  payload-carrying sort into point-grouped order + tiled prefix sums —
+  see the pipeline backward) instead of atomics (SURVEY.md section 7);
 - the backward traverses in forward order using the saved forward image
   (see :mod:`gausplat_tpu.ops.blend`), so no reverse pass is needed.
 
@@ -33,7 +34,6 @@ tile is done.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

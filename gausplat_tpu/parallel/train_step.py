@@ -17,14 +17,12 @@ available in the single-device trainer).
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..constants import TILE_SIZE_Y
-from ..ops.projection import Camera
 from ..render.pipeline import (
     RenderOptions,
     _build_render_fn,

@@ -10,11 +10,12 @@ static-shape (no host sync — the reference's one CPU<->GPU readback at
 rank/mod.rs:61-63 becomes a static entry-buffer capacity with an on-device
 overflow indicator).
 
-The backward is a ``jax.custom_vjp``: the rasterizer gradients come from the
-Pallas backward kernel + a deterministic ``segment_sum`` (instead of f32
-atomics), and the projection gradients from ``jax.vjp`` of the pure-jnp
-projection (instead of the hand-derived transform_backward kernel — the
-equations are the same chain rule).
+The backward is a ``jax.custom_vjp``: the rasterizer gradients come from
+the Pallas backward kernel + a deterministic scatter-free reduction (a
+payload-carrying sort into point-grouped order + tiled prefix sums —
+instead of f32 atomics), and the projection gradients from ``jax.vjp`` of
+the pure-jnp projection (instead of the hand-derived transform_backward
+kernel — the equations are the same chain rule).
 
 The densification signal ``positions_2d_grad_norm`` is delivered exactly as
 in the reference: callers pass a dummy ``positions_2d_grad_norm_ref`` array

@@ -18,7 +18,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..constants import SH_DEGREE_MAX
 from ..ops.projection import Camera
