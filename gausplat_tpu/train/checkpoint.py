@@ -47,9 +47,14 @@ def save_training_state(
 
 def load_training_state(
     path: str,
+    opt_state_template: Any = None,
 ) -> tuple[GaussianScene, Optional[Any], int]:
-    """Load (scene, opt_state or None, step) saved by
-    :func:`save_training_state`."""
+    """Load (scene, opt_state, step) saved by :func:`save_training_state`.
+
+    Pass ``opt_state_template`` (e.g. ``optimizer.init(scene)``) to restore
+    the optimizer state with its original pytree structure; without it the
+    optimizer state comes back as raw nested dicts/arrays.
+    """
     if ocp is None:
         raise RuntimeError("orbax-checkpoint is not available")
     ckpt = ocp.PyTreeCheckpointer()
@@ -57,4 +62,9 @@ def load_training_state(
     scene = GaussianScene(
         **{k: jax.numpy.asarray(v) for k, v in payload["scene"].items()}
     )
-    return scene, payload.get("opt_state"), int(payload["step"])
+    opt_state = payload.get("opt_state")
+    if opt_state is not None and opt_state_template is not None:
+        leaves = jax.tree_util.tree_leaves(opt_state)
+        treedef = jax.tree_util.tree_structure(opt_state_template)
+        opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    return scene, opt_state, int(payload["step"])
