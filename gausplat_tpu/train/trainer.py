@@ -18,6 +18,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..constants import SH_DEGREE_MAX
 from ..ops.projection import Camera
@@ -79,21 +80,39 @@ def _make_train_step(
         return loss, out
 
     @jax.jit
-    def step(scene, opt_state, camera, target):
+    def step(scene, opt_state, densify_acc, camera, target):
         ref = jnp.zeros((point_count,), jnp.float32)
         (loss, out), (grads, grad_norm) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(scene, ref, camera, target)
         updates, opt_state = optimizer.update(grads, opt_state, scene)
         scene = jax.tree_util.tree_map(lambda p, u: p + u, scene, updates)
+        # Densification statistics accumulate on-device (no per-step host
+        # sync); the controller fetches them only at densify events.
+        visible = out.radii > 0
+        densify_acc = {
+            "grad_norm_sum": densify_acc["grad_norm_sum"]
+            + jnp.where(visible, grad_norm, 0.0),
+            "visible_count": densify_acc["visible_count"]
+            + visible.astype(jnp.int32),
+            "max_radii": jnp.maximum(densify_acc["max_radii"], out.radii),
+        }
         metrics = {
             "loss": loss,
             "psnr": psnr(out.colors_rgb_2d, target),
             "tile_point_total": out.tile_point_total,
         }
-        return scene, opt_state, metrics, grad_norm, out.radii
+        return scene, opt_state, densify_acc, metrics
 
     return step, optimizer
+
+
+def _zero_densify_acc(point_count: int):
+    return {
+        "grad_norm_sum": jnp.zeros((point_count,), jnp.float32),
+        "visible_count": jnp.zeros((point_count,), jnp.int32),
+        "max_radii": jnp.zeros((point_count,), jnp.int32),
+    }
 
 
 class Trainer:
@@ -115,7 +134,7 @@ class Trainer:
         self.image_width = image_width
         self.image_height = image_height
         self.step_count = 0
-        self.densify_state = DensifyState.zeros(scene.point_count)
+        self._densify_acc = _zero_densify_acc(scene.point_count)
         self._opt_state = None
         self._opt_point_count = -1
         # Adaptive tile-entry capacity (the dynamic (tile, point) expansion
@@ -156,10 +175,12 @@ class Trainer:
         if self._opt_point_count != self.scene.point_count:
             self._opt_state = optimizer.init(self.scene)
             self._opt_point_count = self.scene.point_count
+            self._densify_acc = _zero_densify_acc(self.scene.point_count)
 
         camera = Camera.from_view(view)
-        self.scene, self._opt_state, metrics, grad_norm, radii = step(
-            self.scene, self._opt_state, camera, jnp.asarray(target)
+        self.scene, self._opt_state, self._densify_acc, metrics = step(
+            self.scene, self._opt_state, self._densify_acc, camera,
+            jnp.asarray(target),
         )
         self.step_count += 1
 
@@ -176,11 +197,16 @@ class Trainer:
             c.densify_from <= self.step_count < c.densify_until
         )
         if in_densify_phase:
-            self.densify_state.accumulate(grad_norm, radii)
             if self.step_count % c.densify_interval == 0:
-                self.scene, self.densify_state, stats = densify_and_prune(
-                    self.scene, self.densify_state, c.densify
+                state = DensifyState(
+                    grad_norm_sum=np.asarray(self._densify_acc["grad_norm_sum"]),
+                    visible_count=np.asarray(self._densify_acc["visible_count"]),
+                    max_radii=np.asarray(self._densify_acc["max_radii"]),
                 )
+                self.scene, _, stats = densify_and_prune(
+                    self.scene, state, c.densify
+                )
+                self._densify_acc = _zero_densify_acc(self.scene.point_count)
                 metrics = {**metrics, **stats}
             if self.step_count % c.opacity_reset_interval == 0:
                 self.scene = reset_opacity(self.scene, c.densify)
