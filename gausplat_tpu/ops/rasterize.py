@@ -320,7 +320,12 @@ def _backward_kernel(
         trans_ref[...] = jnp.ones_like(trans_ref)
         prefix_ref[...] = jnp.zeros_like(prefix_ref)
 
-    skip = bval_ref[i] == 0
+    # Skip empty blocks, and blocks entirely beyond every pixel's forward
+    # rendered count (nothing in them was blended — the reference's
+    # per-pixel skip at rasterize_backward/kernel.wgsl:151-156, lifted to
+    # block granularity).
+    base = bpos_ref[i] * block_size
+    skip = (bval_ref[i] == 0) | (base >= jnp.max(count_ref[...]))
 
     @pl.when(skip)
     def _():
