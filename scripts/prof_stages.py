@@ -12,9 +12,10 @@ W, H, TCX, TCY = 1920, 1080, 120, 68
 scene, cam = _make_inputs(P, W, H)
 gimg = jnp.zeros((TCY * TCX, 3, 256), jnp.float32)
 
-def run(csh, i, stage):
-    csh = csh + i * jnp.float32(1e-7)
-    proj = project_gaussians(csh, scene.positions, scene.rotations, scene.scalings,
+def run(pos, i, stage):
+    csh = scene.colors_sh
+    pos = pos + i * jnp.float32(1e-6)
+    proj = project_gaussians(csh, pos, scene.rotations, scene.scalings,
         cam, sh_degree=3, tile_count_x=TCX, tile_count_y=TCY)
     acc = proj.depths.sum() + proj.color_r.sum() + proj.conic_xx.sum()
     if stage < 1: return acc
@@ -52,6 +53,6 @@ for stage, name in enumerate(names):
         for i in range(n):
             a = a + run(c, i, stage)
         return a
-    float(many(scene.colors_sh))
-    t0 = time.time(); float(many(scene.colors_sh))
+    float(many(scene.positions))
+    t0 = time.time(); float(many(scene.positions))
     print("%-14s %8.2f ms" % (name, (time.time()-t0)/n*1000), flush=True)

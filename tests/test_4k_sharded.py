@@ -2,6 +2,8 @@
 8-device mesh): a 3840x2176 frame sharded by tile rows across 8 devices,
 checked against the single-device render on a downsampled row band."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -19,7 +21,7 @@ def _scene(p=400, seed=0):
     )
     scene = GaussianScene.from_points(pts)
     scene = scene.set_scalings(
-        jnp.asarray(0.05 + 0.15 * rng.random((p, 3)), jnp.float32)
+        jnp.asarray(0.02 + 0.05 * rng.random((p, 3)), jnp.float32)
     )
     scene = scene.set_opacities(
         jnp.asarray(0.3 + 0.6 * rng.random((p, 1)), jnp.float32)
@@ -27,7 +29,10 @@ def _scene(p=400, seed=0):
     return scene
 
 
-@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.environ.get("GAUSPLAT_SLOW_TESTS"),
+    reason="~10 min on the CPU mesh; set GAUSPLAT_SLOW_TESTS=1",
+)
 def test_4k_tile_sharded_smoke():
     scene = _scene()
     view = View(
@@ -40,7 +45,7 @@ def test_4k_tile_sharded_smoke():
     )
     mesh = make_mesh((8,), ("tiles",))
     opts = RenderOptions(
-        backend="xla", tile_entry_capacity=1 << 14, block_size=128
+        backend="xla", tile_entry_capacity=1 << 17, block_size=128
     )
     out = render_tile_sharded(scene, view, mesh, "tiles", opts)
     img = np.asarray(out.colors_rgb_2d)
@@ -48,6 +53,8 @@ def test_4k_tile_sharded_smoke():
     assert np.isfinite(img).all()
     assert img.max() > 0.01
     assert int((np.asarray(out.radii) > 0).sum()) > 100
+    # No truncation anywhere (totals are per-slab maxima under sharding).
+    assert int(out.tile_point_total) < (1 << 17) // 8
 
     # Spot-check one slab against the single-device renderer.
     single = render(scene, view, opts)
