@@ -132,29 +132,38 @@ def make_point_orders(
     src = spans_to_sources(offsets_inc, capacity)
     valid = entry_ids < jnp.minimum(total, jnp.int32(capacity))
 
-    # Pack the five per-point quantities the expansion needs into two
-    # int32 words so the random per-slot lookup is 2 gathers, not 5
+    # Pack the six per-point quantities the expansion needs into three
+    # int32 words so the random per-slot lookup is ONE 3-row gather
     # (random gathers dominate this stage on TPU).
-    # A = depth16 << 16 | width;  B = y_min << 16 | x_min.
+    # A = depth16 << 16 | width;  B = y_min << 16 | x_min;  C = offset.
     width_pt = jnp.maximum(tile_x_max - tile_x_min, 1)
-    pack_a = (
-        (depth_to_order(depths).astype(jnp.int32) << jnp.int32(16))
-        | width_pt.astype(jnp.int32)
+    pack = jnp.stack(
+        [
+            (depth_to_order(depths).astype(jnp.int32) << jnp.int32(16))
+            | width_pt.astype(jnp.int32),
+            (tile_y_min.astype(jnp.int32) << jnp.int32(16))
+            | tile_x_min.astype(jnp.int32),
+            offsets,
+        ]
     )
-    pack_b = (tile_y_min.astype(jnp.int32) << jnp.int32(16)) | tile_x_min.astype(
-        jnp.int32
-    )
-
-    a = pack_a[src]
-    b = pack_b[src]
+    looked = pack[:, src]  # [3, capacity]
+    a, b_word, off = looked[0], looked[1], looked[2]
     depth16 = (a >> jnp.int32(16)).astype(jnp.uint32) & jnp.uint32(0xFFFF)
     width = a & jnp.int32(0xFFFF)
-    y_min = b >> jnp.int32(16)
-    x_min = b & jnp.int32(0xFFFF)
+    y_min = b_word >> jnp.int32(16)
+    x_min = b_word & jnp.int32(0xFFFF)
 
-    local = entry_ids - offsets[src]  # rank of e within its point's tiles
-    tile_x = x_min + local % width
-    tile_y = y_min + local // width
+    local = entry_ids - off  # rank of e within its point's tiles
+    # Variable-divisor integer div/mod lowers poorly on TPU; use f32 math
+    # (exact here: local < 2^24, width <= 2^16) with an integer fix-up.
+    q = jnp.floor(
+        local.astype(jnp.float32) / width.astype(jnp.float32)
+    ).astype(jnp.int32)
+    r = local - q * width
+    q = jnp.where(r < 0, q - 1, jnp.where(r >= width, q + 1, q))
+    r = jnp.where(r < 0, r + width, jnp.where(r >= width, r - width, r))
+    tile_x = x_min + r
+    tile_y = y_min + q
     tile_index = (tile_y * tile_count_x + tile_x).astype(jnp.uint32)
 
     keys = (tile_index << jnp.uint32(16)) | depth16

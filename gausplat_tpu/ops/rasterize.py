@@ -116,31 +116,37 @@ def build_tile_blocks(
         in_range, block_ids - blk_start[tile_of_block], jnp.int32(2**30)
     )
 
-    entry_ids = jnp.arange(nb_max * b, dtype=jnp.int32)
-    blk = entry_ids // b
-    seg_pos = block_pos[blk] * b + entry_ids % b
-    tile = tile_of_block[blk]
-    src = tile_ranges[tile, 0] + seg_pos
-    valid = (seg_pos < counts[tile]) & (blk < total_blocks)
-    src_clipped = jnp.clip(src, 0, capacity - 1)
-    entry_point = jnp.where(
-        valid, sorted_point_indices[src_clipped], jnp.int32(p)
-    )
-    if sorted_entry_ids is None:
-        entry_unsorted = jnp.where(valid, src_clipped, capacity + entry_ids)
-    else:
-        # Pre-sort slot per aligned entry; unique out-of-range pad values.
-        entry_unsorted = jnp.where(
-            valid, sorted_entry_ids[src_clipped], capacity + entry_ids
-        )
-
-    entry_data = point_data[:, entry_point]  # [9, NB * B]
-
     block_valid = jnp.where(
         in_range,
         jnp.clip(counts[tile_of_block] - block_pos * b, 0, b),
         0,
     ).astype(jnp.int32)
+
+    # Per-entry quantities derive from per-block ones by broadcast (indices
+    # slot // B are contiguous runs — never pay for a random gather here).
+    def per_entry(block_arr):
+        return jnp.broadcast_to(block_arr[:, None], (nb_max, b)).reshape(-1)
+
+    lane = jnp.tile(jnp.arange(b, dtype=jnp.int32), nb_max)
+    entry_ids = jnp.arange(nb_max * b, dtype=jnp.int32)
+    src = per_entry(tile_ranges[tile_of_block, 0] + block_pos * b) + lane
+    valid = lane < per_entry(block_valid)
+    src_clipped = jnp.clip(src, 0, capacity - 1)
+    if sorted_entry_ids is None:
+        entry_point = jnp.where(
+            valid, sorted_point_indices[src_clipped], jnp.int32(p)
+        )
+        entry_unsorted = jnp.where(valid, src_clipped, capacity + entry_ids)
+    else:
+        # One 2-row gather for (point id, pre-sort slot) per aligned entry.
+        looked = jnp.stack([sorted_point_indices, sorted_entry_ids])[
+            :, src_clipped
+        ]
+        entry_point = jnp.where(valid, looked[0], jnp.int32(p))
+        # Pre-sort slot per aligned entry; unique out-of-range pad values.
+        entry_unsorted = jnp.where(valid, looked[1], capacity + entry_ids)
+
+    entry_data = point_data[:, entry_point]  # [9, NB * B]
 
     return TileBlocks(
         entry_data=entry_data,

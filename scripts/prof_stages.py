@@ -19,18 +19,21 @@ def run(pos, i, stage):
         cam, sh_degree=3, tile_count_x=TCX, tile_count_y=TCY)
     acc = proj.depths.sum() + proj.color_r.sum() + proj.conic_xx.sum()
     if stage < 1: return acc
-    keys, pidx, total = make_point_orders(proj.depths, proj.tile_x_max,
+    keys, src, offsets_inc, total = make_point_orders(proj.depths, proj.tile_x_max,
         proj.tile_x_min, proj.tile_y_min, proj.tile_counts, tile_count_x=TCX, capacity=CAP)
-    acc = acc + keys[-1].astype(jnp.float32) + pidx[-1].astype(jnp.float32)
+    acc = acc + keys[-1].astype(jnp.float32) + src[-1].astype(jnp.float32)
     if stage < 2: return acc
-    sk, sv = sort_entries(keys, pidx)
+    slots = jnp.arange(CAP, dtype=jnp.int32)
+    sk, seids = sort_entries(keys, slots)
+    in_range = slots < jnp.minimum(total, jnp.int32(CAP))
+    sv = jnp.where(in_range, src[seids], jnp.int32(P))
     acc = acc + sk[-1].astype(jnp.float32) + sv[-1].astype(jnp.float32)
     if stage < 3: return acc
     ranges = tile_ranges_from_keys(sk, total, num_tiles=TCX*TCY)
     acc = acc + ranges.sum().astype(jnp.float32)
     if stage < 4: return acc
     pd = pack_point_data(proj, jax.nn.sigmoid(scene.opacities[:, 0]))
-    blocks = build_tile_blocks(pd, sv, ranges, block_size=B)
+    blocks = build_tile_blocks(pd, sv, ranges, seids, block_size=B)
     acc = acc + blocks.entry_data[0].sum() + blocks.entry_point[-1].astype(jnp.float32)
     if stage < 5: return acc
     it, tt, ct = rasterize_forward_pallas(blocks, num_tiles=TCX*TCY, tile_count_x=TCX)
