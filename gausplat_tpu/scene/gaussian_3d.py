@@ -26,9 +26,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import SEED, SH_C0, SH_COUNT_MAX
+from ..errors import MismatchedTensorShapeError
 from .point import Points
 
 _F32_EPS = float(np.finfo(np.float32).eps)
+
+#: Trailing (per-point) dimension of each parameter tensor.
+_PARAM_DIMS = {
+    "colors_sh": SH_COUNT_MAX * 3,
+    "opacities": 1,
+    "positions": 3,
+    "rotations": 4,
+    "scalings": 3,
+}
 
 
 @jax.tree_util.register_dataclass
@@ -42,16 +52,39 @@ class GaussianScene:
     rotations: jax.Array
     scalings: jax.Array
 
+    def __post_init__(self):
+        """Shape validation mirroring the reference's typed-tensor API
+        (error surface: /root/reference/src/error/mod.rs:30-35).
+
+        Lenient where JAX needs it to be: leaves without a ``.shape`` (pytree
+        sentinels during tree transforms) skip validation, and extra leading
+        (batch/vmap) dimensions are allowed; only the trailing per-point dims
+        are enforced here. Cross-parameter point-count consistency is checked
+        at :attr:`point_count` (i.e. on render), because the setter API builds
+        scenes one parameter at a time — transient mismatches are legal.
+        """
+        for name, want in _PARAM_DIMS.items():
+            shape = getattr(getattr(self, name), "shape", None)
+            if shape is None or not isinstance(shape, tuple):
+                continue  # non-array pytree leaf (tracing/transform internals)
+            if len(shape) < 2 or shape[-1] != want:
+                raise MismatchedTensorShapeError(
+                    f"{name}: {shape}", f"[..., P, {want}]"
+                )
+
     # -- attributes ------------------------------------------------------------
 
     @property
     def point_count(self) -> int:
-        p = self.colors_sh.shape[0]
-        assert self.opacities.shape[0] == p
-        assert self.positions.shape[0] == p
-        assert self.rotations.shape[0] == p
-        assert self.scalings.shape[0] == p
-        return p
+        shapes = {
+            name: getattr(self, name).shape for name in _PARAM_DIMS
+        }
+        if len({s[:-1] for s in shapes.values()}) != 1:
+            raise MismatchedTensorShapeError(
+                shapes,
+                "a single shared point dimension across all five parameters",
+            )
+        return self.colors_sh.shape[-2]
 
     @property
     def size_bytes(self) -> int:

@@ -96,6 +96,7 @@ def _parse_header(reader: BinaryIO) -> tuple[int, str]:
     if (
         fmt not in ("binary_little_endian", "binary_big_endian")
         or point_count is None
+        or point_count < 0
         or [name for name, _ in elements] != ["vertex"]
         or elements[0][1] != PROPERTY_NAMES
     ):
@@ -110,6 +111,11 @@ def decode_polygon(source: Union[bytes, BinaryIO]) -> GaussianScene:
 
     dtype = "<f4" if fmt == "binary_little_endian" else ">f4"
     payload = reader.read(point_count * PROPERTY_COUNT * 4)
+    if len(payload) != point_count * PROPERTY_COUNT * 4:
+        raise MismatchedPolygonHeaderError(
+            f"payload holds {len(payload)} bytes; header declares "
+            f"{point_count} vertices ({point_count * PROPERTY_COUNT * 4} bytes)"
+        )
 
     if fmt == "binary_little_endian" and native.available():
         arrays = native.decode_payload(payload, point_count)

@@ -250,3 +250,74 @@ def test_native_codec_matches_numpy():
             np.asarray(getattr(scene_native, name)),
             np.asarray(getattr(scene_numpy, name)),
         )
+
+
+# --- scene shape validation (reference error/mod.rs:30-35) ---------------------
+
+
+def test_wrong_trailing_dim_raises():
+    from gausplat_tpu.errors import MismatchedTensorShapeError
+
+    good = GaussianScene.from_points(Points.default(4))
+    with pytest.raises(MismatchedTensorShapeError):
+        GaussianScene(
+            colors_sh=jnp.zeros((4, 47)),  # should be 48
+            opacities=good.opacities,
+            positions=good.positions,
+            rotations=good.rotations,
+            scalings=good.scalings,
+        )
+    with pytest.raises(MismatchedTensorShapeError):
+        good.set_rotations(jnp.zeros((4, 3)))  # quat must be [P, 4]
+
+
+def test_mismatched_point_counts_raise():
+    from gausplat_tpu.errors import MismatchedTensorShapeError
+
+    good = GaussianScene.from_points(Points.default(4))
+    bad = GaussianScene(
+        colors_sh=good.colors_sh,
+        opacities=jnp.zeros((5, 1)),  # 5 != 4
+        positions=good.positions,
+        rotations=good.rotations,
+        scalings=good.scalings,
+    )
+    # Transient mismatches are legal (setters build one param at a time);
+    # consistency is enforced at point_count — i.e. before any render.
+    with pytest.raises(MismatchedTensorShapeError):
+        bad.point_count
+
+
+def test_scene_validation_allows_jit_and_vmap():
+    import jax
+
+    good = GaussianScene.from_points(Points.default(4))
+
+    @jax.jit
+    def double(s):
+        return GaussianScene(
+            colors_sh=s.colors_sh * 2,
+            opacities=s.opacities * 2,
+            positions=s.positions * 2,
+            rotations=s.rotations * 2,
+            scalings=s.scalings * 2,
+        )
+
+    out = double(good)
+    np.testing.assert_allclose(
+        np.asarray(out.positions), np.asarray(good.positions) * 2
+    )
+
+
+def test_truncated_payload_raises():
+    good = GaussianScene.from_points(Points.default(4))
+    blob = encode_polygon(good)
+    with pytest.raises(MismatchedPolygonHeaderError):
+        decode_polygon(blob[:-8])
+
+
+def test_negative_point_count_raises():
+    blob = encode_polygon(GaussianScene.from_points(Points.default(2)))
+    bad = blob.replace(b"element vertex 2", b"element vertex -2", 1)
+    with pytest.raises(MismatchedPolygonHeaderError):
+        decode_polygon(bad)
