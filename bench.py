@@ -1,17 +1,25 @@
 """Headline benchmark: fwd+bwd ms/frame at 1080p with 1M Gaussians.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline: the 10 ms/frame target from BASELINE.json (the reference itself
 publishes no numbers — BASELINE.md). vs_baseline = baseline_ms / value
 (higher is better; 1.0 means hitting the 10 ms target).
 
+The workload is garden-like: the scale distribution is tuned so each
+*visible* Gaussian expands to ~10 (tile, point) entries at 1080p; the
+measured entry total and expansion are reported alongside the timing so
+the number can't quietly get easier. Knobs (env):
+BENCH_POINTS, BENCH_CAPACITY, BENCH_BLOCK, BENCH_ITERS,
+BENCH_ENTRY_DTYPE (f32 | bf16), BENCH_SCALE (scale multiplier).
+
 Timing is amortized inside a single compiled chain (the hosted TPU tunnel
-adds tens of ms of RPC latency per dispatch, which would otherwise dominate).
+adds tens of ms of RPC latency per dispatch, which would otherwise
+dominate), perturbing POSITIONS per step so no pipeline stage can be
+hoisted out of the chain.
 """
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -19,7 +27,7 @@ import numpy as np
 BASELINE_MS = 10.0
 
 
-def _make_inputs(point_count, width, height):
+def _make_inputs(point_count, width, height, scale_mult=1.0):
     import jax.numpy as jnp
     from gausplat_tpu import GaussianScene, View
     from gausplat_tpu.ops.projection import Camera
@@ -41,7 +49,9 @@ def _make_inputs(point_count, width, height):
             rng.standard_normal((point_count, 4)).astype(np.float32)
         ),
         scalings=jnp.asarray(
-            np.log(0.002 + 0.008 * rng.random((point_count, 3))).astype(np.float32)
+            np.log(
+                scale_mult * (0.002 + 0.008 * rng.random((point_count, 3)))
+            ).astype(np.float32)
         ),
     )
     view = View(
@@ -68,50 +78,70 @@ def main():
     width, height = 1920, 1080
     capacity = int(os.environ.get("BENCH_CAPACITY", 4_194_304))
     block_size = int(os.environ.get("BENCH_BLOCK", 256))
+    entry_dtype = os.environ.get("BENCH_ENTRY_DTYPE", "bf16")
+    scale_mult = float(os.environ.get("BENCH_SCALE", 1.0))
 
-    scene, camera = _make_inputs(point_count, width, height)
-    options = RenderOptions(tile_entry_capacity=capacity)
+    scene, camera = _make_inputs(point_count, width, height, scale_mult)
+    options = RenderOptions(
+        tile_entry_capacity=capacity, entry_dtype=entry_dtype
+    )
     fn = _build_render_fn(
         width, height, point_count, 3, capacity, block_size,
-        _resolve_backend(options.backend), False,
+        _resolve_backend(options.backend), False, entry_dtype == "bf16",
     )
     ref = jnp.zeros((point_count,), jnp.float32)
 
     def loss(csh, op, pos, rot, scal):
         out = fn(csh, op, pos, rot, scal, ref, camera)
-        return jnp.mean(out.colors_rgb_2d**2)
+        return jnp.mean(out.colors_rgb_2d**2), (
+            out.tile_point_total,
+            jnp.sum((out.radii > 0).astype(jnp.int32)),
+        )
 
-    grad_fn = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))
+    grad_fn = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4), has_aux=True)
 
     def chain(n):
         # Perturb POSITIONS per step: every pipeline stage depends on them,
         # so XLA cannot hoist any stage out of the chain (perturbing a
         # color-only input lets the binning/sort subgraphs be computed once
-        # and reused, understating the per-frame cost).
+        # and reused, understating the per-frame cost). The workload stats
+        # ride out of the first step (no extra compile).
+        def step(pos, i):
+            (v, aux), g = grad_fn(
+                scene.colors_sh, scene.opacities,
+                pos + i.astype(jnp.float32) * jnp.float32(1e-6),
+                scene.rotations, scene.scalings,
+            )
+            return v + g[0].ravel()[0], aux
+
         @jax.jit
         def go(pos):
-            acc = jnp.float32(0.0)
-            for i in range(n):
-                v, g = grad_fn(
-                    scene.colors_sh, scene.opacities,
-                    pos + i * jnp.float32(1e-6),
-                    scene.rotations, scene.scalings,
+            # fori_loop (not Python unrolling): the step body is compiled
+            # once regardless of n, keeping tunnel compile times sane.
+            acc0, (total, visible) = step(pos, jnp.int32(0))
+            if n > 1:
+                acc = jax.lax.fori_loop(
+                    1, n,
+                    lambda i, a: a + step(pos, jnp.int32(i))[0],
+                    acc0,
                 )
-                acc = acc + v + g[0].ravel()[0]
-            return acc
+            else:
+                acc = acc0
+            return acc, total, visible
         return go
 
     n = int(os.environ.get("BENCH_ITERS", 4))
     many, one = chain(n), chain(1)
-    # Warm up / compile.
-    float(one(scene.positions))
-    float(many(scene.positions))
+    # Warm up / compile (workload stats come from the first chain step).
+    acc, total, visible = one(scene.positions)
+    total, visible = int(total), int(visible)
+    float(many(scene.positions)[0])
     # Amortized timing: (n-run - 1-run) / (n - 1) removes dispatch latency.
     t0 = time.time()
-    float(many(scene.positions))
+    float(many(scene.positions)[0])
     tm = time.time() - t0
     t0 = time.time()
-    float(one(scene.positions))
+    float(one(scene.positions)[0])
     t1 = time.time() - t0
     ms = (tm - t1) / (n - 1) * 1000.0
 
@@ -122,6 +152,11 @@ def main():
                 "value": round(ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_MS / ms, 4),
+                "tile_point_entries": total,
+                "visible_points": visible,
+                "entries_per_visible": round(total / max(visible, 1), 2),
+                "capacity": capacity,
+                "entry_dtype": entry_dtype,
             }
         )
     )

@@ -86,7 +86,6 @@ def spans_to_sources(
 
 class BinningOutput(NamedTuple):
     point_indices: jax.Array  # [capacity] int32, sorted by (tile, depth); P pads
-    entry_ids: jax.Array  # [capacity] int32 pre-sort (point-grouped) slot ids
     point_offsets: jax.Array  # [P] int32 inclusive cumsum of touched-tile counts
     tile_ranges: jax.Array  # [num_tiles, 2] int32 (start, end) into the above
     total: jax.Array  # [] int32 true number of entries (may exceed capacity)
@@ -168,6 +167,10 @@ def make_point_orders(
 
     keys = (tile_index << jnp.uint32(16)) | depth16
     keys = jnp.where(valid, keys, jnp.uint32(0xFFFFFFFF))
+    # Pad slots carry the sentinel point id P: they sort last both in the
+    # main (tile, depth) sort (key 0xFFFFFFFF) and in the backward's
+    # point-grouped gradient-reduction sort (key = point id).
+    src = jnp.where(valid, src, jnp.int32(p))
     return keys, src, offsets_inc, total
 
 
@@ -224,12 +227,12 @@ def bin_gaussians(
 ) -> BinningOutput:
     """Full binning pipeline: expand -> sort -> segment.
 
-    The sort carries the *pre-sort slot id* as its value; pre-sort slots are
-    grouped contiguously by source point (slot e of point p lies in
-    [offsets[p-1], offsets[p])), which the backward pass exploits for a
-    scatter-free per-point gradient reduction.
+    The sort carries the source *point id* as its value. A stable sort by
+    point id later restores point-grouped order (each point's entries land
+    in [offsets[p-1], offsets[p]), in the same tile-ascending order they
+    hold both pre-sort and in the (tile, depth)-sorted stream), which the
+    backward pass exploits for a scatter-free per-point gradient reduction.
     """
-    p = depths.shape[0]
     keys, src, offsets_inc, total = make_point_orders(
         depths,
         tile_x_max,
@@ -239,16 +242,12 @@ def bin_gaussians(
         tile_count_x=tile_count_x,
         capacity=capacity,
     )
-    entry_slots = jnp.arange(capacity, dtype=jnp.int32)
-    sorted_keys, sorted_slots = sort_entries(keys, entry_slots)
-    in_range = entry_slots < jnp.minimum(total, jnp.int32(capacity))
-    sorted_points = jnp.where(in_range, src[sorted_slots], jnp.int32(p))
+    sorted_keys, sorted_points = sort_entries(keys, src)
     ranges = tile_ranges_from_keys(
         sorted_keys, total, num_tiles=tile_count_x * tile_count_y
     )
     return BinningOutput(
         point_indices=sorted_points,
-        entry_ids=sorted_slots,
         point_offsets=offsets_inc,
         tile_ranges=ranges,
         total=total,

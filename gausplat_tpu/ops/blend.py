@@ -40,6 +40,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..constants import OPACITY_2D_MAX, OPACITY_2D_MIN, TRANSMITTANCE_MIN
 
@@ -72,6 +73,78 @@ class EntryBlock(NamedTuple):
 
 #: Canonical packed-entry column order used across the rasterizer.
 ENTRY_COLUMNS = 9
+
+#: Row counts of the two on-HBM entry layouts (see ``entries_from_rows``).
+ENTRY_ROWS_F32 = 9
+ENTRY_ROWS_PACKED = 6
+
+
+# --- bf16-pair packing ----------------------------------------------------------
+#
+# The packed entry layout halves the HBM volume of the rasterizer's dominant
+# data movement (the per-entry gather, the kernel input DMA, the per-entry
+# gradient rows and their reduction sort). Two bf16 values live in one int32
+# word: the *high* 16 bits of an f32 are exactly its bf16 truncation, so
+# packing/unpacking is pure integer masking — no bf16 dtype, Mosaic-friendly.
+# Positions stay f32 (sub-pixel precision at 4K needs the full mantissa;
+# bf16 would quantize pixel coordinates to ~8 px) — their words are plain
+# f32 bit patterns. Enabled by RenderOptions(entry_dtype="bf16").
+
+_HI_MASK = np.int32(-65536)  # 0xFFFF0000 (numpy literal: jnp
+# constants at module scope would be captured by Pallas kernels)
+
+
+def _bits(x: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _f32(bits: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def _round_bf16_bits(x: jax.Array) -> jax.Array:
+    """f32 -> nearest-bf16 bit pattern in the high 16 bits (half-up tie)."""
+    return jnp.bitwise_and(_bits(x) + np.int32(0x8000), _HI_MASK)
+
+
+def pack_pair(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Two f32 arrays -> one int32 word array (a in high bits, b in low)."""
+    return jnp.bitwise_or(
+        _round_bf16_bits(a),
+        jax.lax.shift_right_logical(_round_bf16_bits(b), 16),
+    )
+
+
+def unpack_hi(word: jax.Array) -> jax.Array:
+    return _f32(jnp.bitwise_and(word, _HI_MASK))
+
+
+def unpack_lo(word: jax.Array) -> jax.Array:
+    return _f32(jax.lax.shift_left(word, 16))
+
+
+def entries_from_rows(rows: jax.Array, packed: bool) -> EntryBlock:
+    """Decode an entry block from its on-HBM row layout.
+
+    - ``packed=False``: rows are f32 ``[9, B]`` in the canonical order.
+    - ``packed=True``: rows are int32 ``[6, B]``:
+      ``[r|g, b|opacity, cxx|cxy, cyy|unused, bits(px), bits(py)]``.
+    """
+    cols = rows.T
+    if not packed:
+        return EntryBlock.from_rows(cols)
+    w = [cols[:, i : i + 1] for i in range(ENTRY_ROWS_PACKED)]
+    return EntryBlock(
+        color=jnp.concatenate(
+            [unpack_hi(w[0]), unpack_lo(w[0]), unpack_hi(w[1])], axis=1
+        ),
+        conic_xx=unpack_hi(w[2]),
+        conic_xy=unpack_lo(w[2]),
+        conic_yy=unpack_hi(w[3]),
+        opacity=unpack_lo(w[1]),
+        pos_x=_f32(w[4]),
+        pos_y=_f32(w[5]),
+    )
 
 
 def _shift_down(x: jax.Array, s: int, fill: float) -> jax.Array:
@@ -145,16 +218,20 @@ def forward_batch(
     pix_x: jax.Array,
     pix_y: jax.Array,
     base_position: jax.Array,
+    entry_mask: jax.Array | None = None,  # [B, 1] valid-lane mask
 ) -> ForwardState:
     """Blend one batch of B points into N pixels (front-to-back).
 
-    ``base_position``: scalar int32, the batch's first entry position within
-    its tile's segment (for the rendered-count bookkeeping).
+    ``base_position``: scalar int32, the position within the tile's segment
+    of the batch's lane 0 (may be negative when the segment starts mid-batch
+    — such lanes must be masked off via ``entry_mask``).
     """
     f32 = jnp.float32
     b_pts = entries.opacity.shape[0]
 
     _, _, _, alpha, blendable = density_terms(entries, pix_x, pix_y)
+    if entry_mask is not None:
+        blendable = blendable & entry_mask
     blendable = blendable & ~state.done
 
     one_minus = jnp.where(blendable, f32(1.0) - alpha, f32(1.0))
@@ -218,6 +295,46 @@ class EntryGrads(NamedTuple):
     pos_2d: jax.Array  # [B, 2]
 
 
+def grads_to_rows(grads: EntryGrads, packed: bool) -> jax.Array:
+    """Encode per-entry gradients into their on-HBM row layout.
+
+    - ``packed=False``: f32 ``[9, B]`` canonical order.
+    - ``packed=True``: int32 ``[6, B]``: color/conic/opacity pairs in bf16
+      words, pos-2d grads as f32 bit patterns (mirrors the entry layout so
+      one decoder serves both).
+    """
+    if not packed:
+        return jnp.concatenate(
+            [grads.color, grads.conic, grads.opacity, grads.pos_2d], axis=-1
+        ).T
+    c, k = grads.color, grads.conic
+    rows = jnp.concatenate(
+        [
+            pack_pair(c[:, 0:1], c[:, 1:2]),
+            pack_pair(c[:, 2:3], grads.opacity),
+            pack_pair(k[:, 0:1], k[:, 1:2]),
+            pack_pair(k[:, 2:3], jnp.zeros_like(k[:, 2:3])),
+            _bits(grads.pos_2d[:, 0:1]),
+            _bits(grads.pos_2d[:, 1:2]),
+        ],
+        axis=-1,
+    )
+    return rows.T
+
+
+def grad_rows_to_components(rows: jax.Array, packed: bool) -> tuple:
+    """On-HBM grad rows [R, N] -> 9 f32 [N] arrays in the canonical order
+    (r, g, b, cxx, cxy, cyy, opacity, px, py)."""
+    if not packed:
+        return tuple(rows[c] for c in range(ENTRY_COLUMNS))
+    w = [rows[i] for i in range(ENTRY_ROWS_PACKED)]
+    return (
+        unpack_hi(w[0]), unpack_lo(w[0]), unpack_hi(w[1]),
+        unpack_hi(w[2]), unpack_lo(w[2]), unpack_hi(w[3]),
+        unpack_lo(w[1]), _f32(w[4]), _f32(w[5]),
+    )
+
+
 def backward_batch(
     state: BackwardState,
     entries: EntryBlock,
@@ -227,12 +344,15 @@ def backward_batch(
     grad_color: jax.Array,  # [3, N] upstream dL/d(pixel color)
     grad_dot_final: jax.Array,  # [1, N] <g, C_final> for the pixel
     rendered_count: jax.Array,  # [1, N] int32 from the forward pass
+    entry_mask: jax.Array | None = None,  # [B, 1] valid-lane mask
 ) -> tuple[BackwardState, EntryGrads]:
     """Backward of :func:`forward_batch`, in forward traversal order."""
     f32 = jnp.float32
     b_pts = entries.opacity.shape[0]
 
     dx, dy, density, alpha, blendable = density_terms(entries, pix_x, pix_y)
+    if entry_mask is not None:
+        blendable = blendable & entry_mask
     positions = base_position + jnp.arange(b_pts, dtype=jnp.int32)[:, None]
     blended = blendable & (positions < rendered_count)
 

@@ -28,7 +28,7 @@ production point counts). All math is float32, matching the reference.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -65,6 +65,13 @@ class Camera:
     view_position: jax.Array  # [3]
     view_rotation: jax.Array  # [3, 3] row-major operator: p_v = R @ p + t
     view_translation: jax.Array  # [3]
+    #: Optional [2] screen-space origin shift (tile sharding: the slab's
+    #: pixel offset). Applied by *subtracting from the globally-computed*
+    #: pos2d — integer pixel offsets subtract exactly in f32, so a slab
+    #: render is bitwise identical to the matching rows of the full frame
+    #: (shifting the principal point instead would reassociate the fp sum
+    #: and jitter tile assignment for borderline Gaussians).
+    pos2d_shift: Optional[jax.Array] = None
 
     @classmethod
     def from_view(cls, view) -> "Camera":
@@ -263,6 +270,13 @@ def project_gaussians(
     norm_y = pv_y / depth_safe
     pos2d_x = norm_x * fx + camera.image_size_half[0] - f32(0.5)
     pos2d_y = norm_y * fy + camera.image_size_half[1] - f32(0.5)
+    if camera.pos2d_shift is not None:
+        # Slab-local coordinates (tile sharding). Subtracting the integer
+        # pixel offset from the full-frame value is exact in f32, keeping
+        # tile assignment and blend weights bitwise equal to the
+        # single-device render (see Camera.pos2d_shift).
+        pos2d_x = pos2d_x - camera.pos2d_shift[0]
+        pos2d_y = pos2d_y - camera.pos2d_shift[1]
 
     # EWA: T = J @ Rv with clamped normalized coords (:214-241). The clamp's
     # gradient is masked exactly as in the reference.

@@ -7,29 +7,42 @@ Parity targets:
 - backward: .../jit/kernel/rasterize_backward/kernel.wgsl:71-274
   (back-to-front replay + atomicAdd gradient accumulation)
 
-TPU-native design:
+TPU-native design — the *segment-window* rasterizer:
 
-The sorted (tile, depth) entry list is re-packed into **block-aligned tile
-segments**: every tile's entries start at a multiple of the batch size ``B``
-and each tile owns at least one block (empty tiles get a block of padding so
-their outputs are still initialized). This turns the reference's dynamic
-per-tile ranges + indirect dispatch into a *static 1-D Pallas grid over
-blocks*, where
+The kernels consume the (tile, depth)-sorted entry array **directly**, with
+no realignment copy. The sorted array is viewed as consecutive blocks of
+``B`` entries; each grid step is a (tile, block) pair — one window of one
+tile's segment:
 
-- the entry input is a plain ``(B, 9)`` BlockSpec (auto double-buffered
-  HBM->VMEM pipelining — the reference's cooperative shared-memory staging);
-- per-tile outputs (color / transmittance / rendered-count, stored tiled as
-  ``[num_tiles, ...]``) use a scalar-prefetched ``block -> tile`` map in
-  their index maps; consecutive blocks of one tile revisit the same output
-  block in VMEM, which carries the blend state across batches;
-- gradients are written per *entry* and reduced deterministically (a
-  payload-carrying sort into point-grouped order + tiled prefix sums —
-  see the pipeline backward) instead of atomics (SURVEY.md section 7);
+- a tile whose segment [r0, r1) overlaps blocks k..m contributes steps
+  (t, k) ... (t, m), in order; lanes outside [r0-kB, r1-kB) are masked;
+- the entry input is a plain ``(R, B)`` BlockSpec whose *index map reads a
+  scalar-prefetched per-step block id* — XLA's pipelining double-buffers
+  the HBM->VMEM fetches (the reference's cooperative shared-memory staging);
+  a boundary block shared by two tiles is two consecutive steps with the
+  same id (no re-fetch);
+- per-tile outputs (color / transmittance / rendered-count, stored tiled
+  as ``[num_tiles, ...]``) use a prefetched ``step -> tile`` map; the steps
+  of one tile are consecutive, so the revisited output block stays in VMEM
+  and carries the blend state across windows;
+- the backward writes per-entry gradient rows back at the *sorted*
+  positions (same BlockSpec, boundary blocks accumulated across their two
+  steps), and the pipeline reduces them per point with a deterministic
+  stable sort by point id + tiled prefix sums — no atomics
+  (SURVEY.md section 7);
 - the backward traverses in forward order using the saved forward image
   (see :mod:`gausplat_tpu.ops.blend`), so no reverse pass is needed.
 
-Whole-tile early exit is preserved as a compute skip once every pixel of the
-tile is done.
+Versus the round-1 block-aligned design this removes the aligned entry
+copy entirely (at 1M points / 1080p: two multi-megabyte random gathers and
+a 1.5x-inflated gradient array + reduction sort).
+
+Entry rows are f32 ``[9, cap]`` or packed bf16-pair int32 ``[6, cap]``
+(``RenderOptions(entry_dtype="bf16")``; see blend.pack_pair) — positions
+stay f32 in both.
+
+Whole-tile early exit is preserved as a compute skip once every pixel of
+the tile is done.
 """
 
 from __future__ import annotations
@@ -44,12 +57,14 @@ from ..constants import TILE_SIZE_X, TILE_SIZE_Y
 from .binning import spans_to_sources
 from .prefix import prefix_sum
 from .blend import (
-    ENTRY_COLUMNS,
+    ENTRY_ROWS_F32,
+    ENTRY_ROWS_PACKED,
     BackwardState,
-    EntryBlock,
     ForwardState,
     backward_batch,
+    entries_from_rows,
     forward_batch,
+    grads_to_rows,
 )
 
 try:  # pallas TPU backend is unavailable on some hosts; fall back to XLA.
@@ -59,122 +74,127 @@ except ImportError:  # pragma: no cover
 
 PIXELS_PER_TILE = TILE_SIZE_X * TILE_SIZE_Y  # 256
 
-#: Default points per batch (the reference stages 256 = one per thread).
+#: Default entries per window (the reference stages 256 = one per thread).
 DEFAULT_BLOCK_SIZE = 256
 
 
-class TileBlocks(NamedTuple):
-    """Block-aligned tile segments of the sorted entry list.
+def entry_rows(packed: bool) -> int:
+    return ENTRY_ROWS_PACKED if packed else ENTRY_ROWS_F32
 
-    ``entry_data`` is stored transposed ([9, NB * B], components on the
-    leading axis): under TPU (8, 128) tiling a ``[N, 9]`` layout pads the
-    trailing dim to 128 lanes (14x HBM blowup at production entry counts),
-    while ``[9, N]`` pads only 9 -> 16 sublanes.
-    """
 
-    entry_data: jax.Array  # [9, NB * B] packed per-entry point data
-    entry_point: jax.Array  # [NB * B] int32 source point (P = padding)
-    entry_unsorted: jax.Array  # [NB * B] int32 pre-sort slot (>=cap = padding)
-    tile_of_block: jax.Array  # [NB] int32
-    block_pos: jax.Array  # [NB] int32 position of block within its tile
-    block_valid: jax.Array  # [NB] int32 count of real entries in the block
+class EntryStream(NamedTuple):
+    """The sorted entry array + per-step (tile, window) metadata."""
+
+    entry_data: jax.Array  # [R, cap] per-entry point data in sorted order
+    entry_point: jax.Array  # [cap] int32 source point (P = padding)
+    step_tile: jax.Array  # [S] tile of each step
+    step_block: jax.Array  # [S] block index into entry_data columns
+    step_r0: jax.Array  # [S] tile segment start (0 on pad steps)
+    step_r1: jax.Array  # [S] tile segment end (0 on pad steps)
+    step_first: jax.Array  # [S] 1 iff the step is its tile's first
     block_size: int
+    packed: bool
 
 
-def build_tile_blocks(
-    point_data: jax.Array,  # [9, P + 1] packed per-point data (pad row last)
-    sorted_point_indices: jax.Array,  # [capacity] int32 (P = padding)
-    tile_ranges: jax.Array,  # [num_tiles, 2]
-    sorted_entry_ids: jax.Array | None = None,  # [capacity] pre-sort slots
-    *,
-    block_size: int = DEFAULT_BLOCK_SIZE,
-) -> TileBlocks:
-    """Gather sorted entries into block-aligned tile segments.
-
-    Static output size: ``NB = capacity // B + num_tiles`` blocks (each tile
-    rounds its entry count up to a multiple of ``B``, minimum one block).
-    """
-    b = block_size
-    p = point_data.shape[1] - 1
-    capacity = sorted_point_indices.shape[0]
-    num_tiles = tile_ranges.shape[0]
-    nb_max = capacity // b + num_tiles
-
-    counts = tile_ranges[:, 1] - tile_ranges[:, 0]
-    blocks_per_tile = jnp.maximum((counts + b - 1) // b, 1)
-    blk_end = prefix_sum(blocks_per_tile)
-    blk_start = blk_end - blocks_per_tile
-    total_blocks = blk_end[-1]
-
-    block_ids = jnp.arange(nb_max, dtype=jnp.int32)
-    in_range = block_ids < total_blocks
-    tile_of_block = spans_to_sources(blk_end.astype(jnp.int32), nb_max)
-    # Trailing unused blocks: attach to the last tile at a non-zero position
-    # so they never reset (or corrupt) live tile state.
-    tile_of_block = jnp.where(in_range, tile_of_block, num_tiles - 1)
-    block_pos = jnp.where(
-        in_range, block_ids - blk_start[tile_of_block], jnp.int32(2**30)
-    )
-
-    block_valid = jnp.where(
-        in_range,
-        jnp.clip(counts[tile_of_block] - block_pos * b, 0, b),
-        0,
-    ).astype(jnp.int32)
-
-    # Per-entry quantities derive from per-block ones by broadcast (indices
-    # slot // B are contiguous runs — never pay for a random gather here).
-    def per_entry(block_arr):
-        return jnp.broadcast_to(block_arr[:, None], (nb_max, b)).reshape(-1)
-
-    lane = jnp.tile(jnp.arange(b, dtype=jnp.int32), nb_max)
-    entry_ids = jnp.arange(nb_max * b, dtype=jnp.int32)
-    src = per_entry(tile_ranges[tile_of_block, 0] + block_pos * b) + lane
-    valid = lane < per_entry(block_valid)
-    src_clipped = jnp.clip(src, 0, capacity - 1)
-    if sorted_entry_ids is None:
-        entry_point = jnp.where(
-            valid, sorted_point_indices[src_clipped], jnp.int32(p)
-        )
-        entry_unsorted = jnp.where(valid, src_clipped, capacity + entry_ids)
-    else:
-        # One 2-row gather for (point id, pre-sort slot) per aligned entry.
-        looked = jnp.stack([sorted_point_indices, sorted_entry_ids])[
-            :, src_clipped
-        ]
-        entry_point = jnp.where(valid, looked[0], jnp.int32(p))
-        # Pre-sort slot per aligned entry; unique out-of-range pad values.
-        entry_unsorted = jnp.where(valid, looked[1], capacity + entry_ids)
-
-    entry_data = point_data[:, entry_point]  # [9, NB * B]
-
-    return TileBlocks(
-        entry_data=entry_data,
-        entry_point=entry_point,
-        entry_unsorted=entry_unsorted,
-        tile_of_block=tile_of_block,
-        block_pos=block_pos,
-        block_valid=block_valid,
-        block_size=b,
-    )
-
-
-def pack_point_data(proj, opacities_outer: jax.Array) -> jax.Array:
-    """Pack per-point rasterization inputs into transposed [9, P + 1] rows
-    (canonical component order; the last column is the zero padding point).
+def pack_point_data(
+    proj, opacities_outer: jax.Array, packed: bool = False
+) -> jax.Array:
+    """Pack per-point rasterization inputs into row layout [R, P + 1]
+    (the last column is the zero padding point).
 
     ``proj``: a ProjectionOutput (structure-of-arrays components).
     ``opacities_outer``: [P] post-sigmoid opacities.
     """
+    if not packed:
+        rows = jnp.stack(
+            [
+                proj.color_r, proj.color_g, proj.color_b,
+                proj.conic_xx, proj.conic_xy, proj.conic_yy,
+                opacities_outer,
+                proj.pos2d_x, proj.pos2d_y,
+            ]
+        ).astype(jnp.float32)
+        return jnp.pad(rows, ((0, 0), (0, 1)))
+    from .blend import _bits, pack_pair
+
     rows = jnp.stack(
         [
-            proj.color_r, proj.color_g, proj.color_b,
-            proj.conic_xx, proj.conic_xy, proj.conic_yy,
-            opacities_outer,
-            proj.pos2d_x, proj.pos2d_y,
+            pack_pair(proj.color_r, proj.color_g),
+            pack_pair(proj.color_b, opacities_outer),
+            pack_pair(proj.conic_xx, proj.conic_xy),
+            pack_pair(proj.conic_yy, jnp.zeros_like(proj.conic_yy)),
+            _bits(proj.pos2d_x.astype(jnp.float32)),
+            _bits(proj.pos2d_y.astype(jnp.float32)),
         ]
-    ).astype(jnp.float32)
+    )
     return jnp.pad(rows, ((0, 0), (0, 1)))
+
+
+def build_entry_stream(
+    point_data: jax.Array,  # [R, P + 1] packed per-point data (pad col last)
+    sorted_point_indices: jax.Array,  # [capacity] int32 (P = padding)
+    tile_ranges: jax.Array,  # [num_tiles, 2]
+    *,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    packed: bool = False,
+) -> EntryStream:
+    """Gather sorted per-entry data and derive the (tile, window) step list.
+
+    Static step count: ``S = capacity // B + num_tiles`` (each nonempty tile
+    adds at most one boundary-extra step; trailing slots are no-op pad
+    steps). ``capacity`` must be a multiple of ``block_size``.
+    """
+    b = block_size
+    capacity = sorted_point_indices.shape[0]
+    assert capacity % b == 0, (capacity, b)
+    num_tiles = tile_ranges.shape[0]
+    s_max = capacity // b + num_tiles
+
+    entry_data = point_data[:, sorted_point_indices]  # [R, cap]
+
+    r0 = tile_ranges[:, 0].astype(jnp.int32)
+    r1 = tile_ranges[:, 1].astype(jnp.int32)
+    nonempty = r1 > r0
+    first_blk = r0 // b
+    last_blk = jnp.where(nonempty, (r1 - 1) // b, first_blk)
+    steps_per_tile = jnp.where(nonempty, last_blk - first_blk + 1, 0).astype(
+        jnp.int32
+    )
+    cum = prefix_sum(steps_per_tile)  # inclusive
+    total_steps = cum[-1]
+
+    sid = jnp.arange(s_max, dtype=jnp.int32)
+    in_range = sid < total_steps
+    tile_of_step = spans_to_sources(cum, s_max)
+    k = sid - (cum[tile_of_step] - steps_per_tile[tile_of_step])
+    sblk = first_blk[tile_of_step] + k
+
+    # Pad steps repeat the last real step's (tile, block) with an empty
+    # window (r0 = r1 = 0 -> all lanes masked): they revisit that tile's
+    # output block without touching it, keeping the revisit chain
+    # consecutive. Empty scene: everything clamps to (tile 0, block 0).
+    last_sid = jnp.clip(total_steps - 1, 0, s_max - 1)
+    lrt = jnp.where(total_steps > 0, tile_of_step[last_sid], 0)
+    lrb = jnp.where(
+        total_steps > 0, first_blk[lrt] + (last_sid - (cum[lrt] - steps_per_tile[lrt])), 0
+    )
+    step_tile = jnp.where(in_range, tile_of_step, lrt)
+    step_block = jnp.where(in_range, sblk, lrb)
+    step_r0 = jnp.where(in_range, r0[tile_of_step], 0)
+    step_r1 = jnp.where(in_range, r1[tile_of_step], 0)
+    step_first = (in_range & (k == 0)).astype(jnp.int32)
+
+    return EntryStream(
+        entry_data=entry_data,
+        entry_point=sorted_point_indices,
+        step_tile=step_tile.astype(jnp.int32),
+        step_block=step_block.astype(jnp.int32),
+        step_r0=step_r0,
+        step_r1=step_r1,
+        step_first=step_first,
+        block_size=b,
+        packed=packed,
+    )
 
 
 def _pixel_coords(tile_index, tile_count_x):
@@ -188,14 +208,26 @@ def _pixel_coords(tile_index, tile_count_x):
     return pix_x, pix_y
 
 
+def _window(sblk, r0, r1, block_size):
+    """Per-step lane window: (entry mask [B, 1], base_position scalar)."""
+    base = sblk * block_size
+    lo = jnp.maximum(r0 - base, 0)
+    hi = jnp.minimum(r1 - base, block_size)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (block_size, 1), 0)
+    mask = (lane >= lo) & (lane < hi)
+    return mask, base - r0, lo, hi
+
+
 # --- Pallas forward -----------------------------------------------------------
 
 
 def _forward_kernel(
-    tob_ref,  # scalar prefetch: [NB] block -> tile
-    bpos_ref,  # scalar prefetch: [NB] block -> position in tile
-    bval_ref,  # scalar prefetch: [NB] block -> valid-entry count
-    entry_ref,  # [B, 9] VMEM
+    tile_ref,  # scalar prefetch: [S] step -> tile
+    sblk_ref,  # scalar prefetch: [S] step -> entry block
+    r0_ref,  # scalar prefetch: [S] step -> segment start
+    r1_ref,  # scalar prefetch: [S] step -> segment end
+    first_ref,  # scalar prefetch: [S] step -> is tile's first step
+    entry_ref,  # [R, B] VMEM
     image_ref,  # [3, 256] VMEM out (revisited per tile)
     trans_ref,  # [1, 256] VMEM out
     count_ref,  # [1, 256] int32 VMEM out
@@ -203,32 +235,33 @@ def _forward_kernel(
     *,
     block_size: int,
     tile_count_x: int,
+    packed: bool,
 ):
     i = pl.program_id(0)
-    first = bpos_ref[i] == 0
 
-    @pl.when(first)
+    @pl.when(first_ref[i] == 1)
     def _():
         image_ref[...] = jnp.zeros_like(image_ref)
         trans_ref[...] = jnp.ones_like(trans_ref)
         count_ref[...] = jnp.zeros_like(count_ref)
         done_ref[...] = jnp.zeros_like(done_ref)
 
-    skip = jnp.all(done_ref[...] > 0) | (bval_ref[i] == 0)
+    mask, base_pos, lo, hi = _window(
+        sblk_ref[i], r0_ref[i], r1_ref[i], block_size
+    )
+    skip = jnp.all(done_ref[...] > 0) | (hi <= lo)
 
     @pl.when(jnp.logical_not(skip))
     def _():
-        entries = EntryBlock.from_rows(entry_ref[...].T)
-        pix_x, pix_y = _pixel_coords(tob_ref[i], tile_count_x)
+        entries = entries_from_rows(entry_ref[...], packed)
+        pix_x, pix_y = _pixel_coords(tile_ref[i], tile_count_x)
         state = ForwardState(
             color=image_ref[...],
             transmittance=trans_ref[...],
             done=done_ref[...] > 0,
             rendered_count=count_ref[...],
         )
-        new = forward_batch(
-            state, entries, pix_x, pix_y, bpos_ref[i] * block_size
-        )
+        new = forward_batch(state, entries, pix_x, pix_y, base_pos, mask)
         image_ref[...] = new.color
         trans_ref[...] = new.transmittance
         count_ref[...] = new.rendered_count
@@ -236,44 +269,49 @@ def _forward_kernel(
 
 
 def rasterize_forward_pallas(
-    blocks: TileBlocks,
+    stream: EntryStream,
     *,
     num_tiles: int,
     tile_count_x: int,
     interpret: bool = False,
 ):
     """Returns (image_tiles [T,3,256], trans_tiles [T,256], count_tiles
-    [T,256])."""
-    b = blocks.block_size
-    nb = blocks.tile_of_block.shape[0]
+    [T,256]). Tiles with no steps (empty segments) are left uninitialized —
+    the pipeline masks them via the tile ranges."""
+    b = stream.block_size
+    s = stream.step_tile.shape[0]
+    rows = stream.entry_data.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(nb,),
+        num_scalar_prefetch=5,
+        grid=(s,),
         in_specs=[
-            pl.BlockSpec((ENTRY_COLUMNS, b), lambda i, tob, bpos, bval: (0, i)),
+            pl.BlockSpec(
+                (rows, b), lambda i, tile, sblk, r0, r1, first: (0, sblk[i])
+            ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 3, PIXELS_PER_TILE), lambda i, tob, bpos, bval: (tob[i], 0, 0)
+                (1, 3, PIXELS_PER_TILE),
+                lambda i, tile, sblk, r0, r1, first: (tile[i], 0, 0),
             ),
             pl.BlockSpec(
-                (1, 1, PIXELS_PER_TILE), lambda i, tob, bpos, bval: (tob[i], 0, 0)
+                (1, 1, PIXELS_PER_TILE),
+                lambda i, tile, sblk, r0, r1, first: (tile[i], 0, 0),
             ),
             pl.BlockSpec(
-                (1, 1, PIXELS_PER_TILE), lambda i, tob, bpos, bval: (tob[i], 0, 0)
+                (1, 1, PIXELS_PER_TILE),
+                lambda i, tile, sblk, r0, r1, first: (tile[i], 0, 0),
             ),
         ],
         scratch_shapes=[pltpu.VMEM((1, PIXELS_PER_TILE), jnp.int32)],
     )
 
-    def kernel(tob, bpos, bval, entry, image, trans, count, done):
+    def kernel(tile, sblk, r0, r1, first, entry, image, trans, count, done):
         # The tiled output blocks carry a leading singleton dim; present the
         # kernel math with [3, 256] / [1, 256] views.
         _forward_kernel(
-            tob,
-            bpos,
-            bval,
+            tile, sblk, r0, r1, first,
             entry,
             image.at[0],
             trans.at[0],
@@ -281,6 +319,7 @@ def rasterize_forward_pallas(
             done,
             block_size=b,
             tile_count_x=tile_count_x,
+            packed=stream.packed,
         )
 
     image_tiles, trans_tiles, count_tiles = pl.pallas_call(
@@ -293,10 +332,12 @@ def rasterize_forward_pallas(
         ],
         interpret=interpret,
     )(
-        blocks.tile_of_block,
-        blocks.block_pos,
-        blocks.block_valid,
-        blocks.entry_data,
+        stream.step_tile,
+        stream.step_block,
+        stream.step_r0,
+        stream.step_r1,
+        stream.step_first,
+        stream.entry_data,
     )
     return image_tiles, trans_tiles[:, 0, :], count_tiles[:, 0, :]
 
@@ -305,42 +346,52 @@ def rasterize_forward_pallas(
 
 
 def _backward_kernel(
-    tob_ref,
-    bpos_ref,
-    bval_ref,
-    entry_ref,  # [B, 9]
+    tile_ref,
+    sblk_ref,
+    r0_ref,
+    r1_ref,
+    first_ref,
+    entry_ref,  # [R, B]
     grad_ref,  # [3, 256] upstream pixel-color grad for the tile
     gdotc_ref,  # [1, 256] <g, C_final> for the tile
     count_ref,  # [1, 256] int32 forward rendered counts
-    out_ref,  # [B, 9] per-entry grads
+    out_ref,  # [R, B] per-entry grads at sorted positions
     trans_ref,  # [1, 256] f32 scratch (running transmittance)
     prefix_ref,  # [1, 256] f32 scratch (<g, prefix color>)
     *,
     block_size: int,
     tile_count_x: int,
+    packed: bool,
 ):
     i = pl.program_id(0)
 
-    @pl.when(bpos_ref[i] == 0)
+    @pl.when(first_ref[i] == 1)
     def _():
         trans_ref[...] = jnp.ones_like(trans_ref)
         prefix_ref[...] = jnp.zeros_like(prefix_ref)
 
-    # Skip empty blocks, and blocks entirely beyond every pixel's forward
-    # rendered count (nothing in them was blended — the reference's
-    # per-pixel skip at rasterize_backward/kernel.wgsl:151-156, lifted to
-    # block granularity).
-    base = bpos_ref[i] * block_size
-    skip = (bval_ref[i] == 0) | (base >= jnp.max(count_ref[...]))
+    # A boundary block is written by the steps of each tile it spans; zero
+    # it on first visit, then merge each step's lane window into it.
+    prev = sblk_ref[jnp.maximum(i - 1, 0)]
+    binit = (i == 0) | (sblk_ref[i] != prev)
 
-    @pl.when(skip)
+    @pl.when(binit)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
+    mask, base_pos, lo, hi = _window(
+        sblk_ref[i], r0_ref[i], r1_ref[i], block_size
+    )
+    # Skip empty windows, and windows entirely beyond every pixel's forward
+    # rendered count (nothing in them was blended — the reference's
+    # per-pixel skip at rasterize_backward/kernel.wgsl:151-156, lifted to
+    # window granularity). Their grads stay zero from the binit clear.
+    skip = (hi <= lo) | (base_pos + lo >= jnp.max(count_ref[...]))
+
     @pl.when(jnp.logical_not(skip))
     def _():
-        entries = EntryBlock.from_rows(entry_ref[...].T)
-        pix_x, pix_y = _pixel_coords(tob_ref[i], tile_count_x)
+        entries = entries_from_rows(entry_ref[...], packed)
+        pix_x, pix_y = _pixel_coords(tile_ref[i], tile_count_x)
         state = BackwardState(
             transmittance=trans_ref[...], grad_prefix=prefix_ref[...]
         )
@@ -349,20 +400,23 @@ def _backward_kernel(
             entries,
             pix_x,
             pix_y,
-            bpos_ref[i] * block_size,
+            base_pos,
             grad_ref[...],
             gdotc_ref[...],
             count_ref[...],
+            mask,
         )
         trans_ref[...] = new_state.transmittance
         prefix_ref[...] = new_state.grad_prefix
-        out_ref[...] = jnp.concatenate(
-            [grads.color, grads.conic, grads.opacity, grads.pos_2d], axis=-1
-        ).T
+        lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, block_size), 1)
+        mask_row = (lane_row >= lo) & (lane_row < hi)
+        out_ref[...] = jnp.where(
+            mask_row, grads_to_rows(grads, packed), out_ref[...]
+        )
 
 
 def rasterize_backward_pallas(
-    blocks: TileBlocks,
+    stream: EntryStream,
     grad_tiles: jax.Array,  # [T, 3, 256]
     gdotc_tiles: jax.Array,  # [T, 256]
     count_tiles: jax.Array,  # [T, 256] int32
@@ -370,27 +424,37 @@ def rasterize_backward_pallas(
     tile_count_x: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns per-entry gradients, transposed [9, NB * B]."""
-    b = blocks.block_size
-    nb = blocks.tile_of_block.shape[0]
+    """Returns per-entry gradient rows [R, cap] at the sorted positions.
+    Positions not covered by any tile segment (padding) are undefined — the
+    pipeline masks them by the valid entry count."""
+    b = stream.block_size
+    s = stream.step_tile.shape[0]
+    rows = stream.entry_data.shape[0]
+    capacity = stream.entry_data.shape[1]
+    out_dtype = jnp.int32 if stream.packed else jnp.float32
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(nb,),
+        num_scalar_prefetch=5,
+        grid=(s,),
         in_specs=[
-            pl.BlockSpec((ENTRY_COLUMNS, b), lambda i, tob, bpos, bval: (0, i)),
             pl.BlockSpec(
-                (1, 3, PIXELS_PER_TILE), lambda i, tob, bpos, bval: (tob[i], 0, 0)
+                (rows, b), lambda i, tile, sblk, r0, r1, first: (0, sblk[i])
             ),
             pl.BlockSpec(
-                (1, 1, PIXELS_PER_TILE), lambda i, tob, bpos, bval: (tob[i], 0, 0)
+                (1, 3, PIXELS_PER_TILE),
+                lambda i, tile, sblk, r0, r1, first: (tile[i], 0, 0),
             ),
             pl.BlockSpec(
-                (1, 1, PIXELS_PER_TILE), lambda i, tob, bpos, bval: (tob[i], 0, 0)
+                (1, 1, PIXELS_PER_TILE),
+                lambda i, tile, sblk, r0, r1, first: (tile[i], 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, PIXELS_PER_TILE),
+                lambda i, tile, sblk, r0, r1, first: (tile[i], 0, 0),
             ),
         ],
         out_specs=pl.BlockSpec(
-            (ENTRY_COLUMNS, b), lambda i, tob, bpos, bval: (0, i)
+            (rows, b), lambda i, tile, sblk, r0, r1, first: (0, sblk[i])
         ),
         scratch_shapes=[
             pltpu.VMEM((1, PIXELS_PER_TILE), jnp.float32),
@@ -398,11 +462,10 @@ def rasterize_backward_pallas(
         ],
     )
 
-    def kernel(tob, bpos, bval, entry, grad, gdotc, count, out, trans, prefix):
+    def kernel(tile, sblk, r0, r1, first, entry, grad, gdotc, count, out,
+               trans, prefix):
         _backward_kernel(
-            tob,
-            bpos,
-            bval,
+            tile, sblk, r0, r1, first,
             entry,
             grad.at[0],
             gdotc.at[0],
@@ -412,25 +475,28 @@ def rasterize_backward_pallas(
             prefix,
             block_size=b,
             tile_count_x=tile_count_x,
+            packed=stream.packed,
         )
 
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ENTRY_COLUMNS, nb * b), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, capacity), out_dtype),
         interpret=interpret,
     )(
-        blocks.tile_of_block,
-        blocks.block_pos,
-        blocks.block_valid,
-        blocks.entry_data,
+        stream.step_tile,
+        stream.step_block,
+        stream.step_r0,
+        stream.step_r1,
+        stream.step_first,
+        stream.entry_data,
         grad_tiles,
         gdotc_tiles[:, None, :],
         count_tiles[:, None, :],
     )
 
 
-# --- XLA fallback (lax.scan over blocks; oracle + non-TPU hosts) ---------------
+# --- XLA fallback (lax.scan over steps; oracle + non-TPU hosts) -----------------
 
 
 def _match_vma(tree, ref):
@@ -446,10 +512,11 @@ def _match_vma(tree, ref):
     return jax.tree_util.tree_map(lambda x: jax.lax.pvary(x, vma), tree)
 
 
-def rasterize_forward_xla(blocks: TileBlocks, *, num_tiles: int, tile_count_x: int):
-    b = blocks.block_size
-    nb = blocks.tile_of_block.shape[0]
-    entry = blocks.entry_data.reshape(ENTRY_COLUMNS, nb, b).transpose(1, 2, 0)
+def rasterize_forward_xla(
+    stream: EntryStream, *, num_tiles: int, tile_count_x: int
+):
+    b = stream.block_size
+    rows = stream.entry_data.shape[0]
 
     init = _match_vma(
         (
@@ -458,13 +525,16 @@ def rasterize_forward_xla(blocks: TileBlocks, *, num_tiles: int, tile_count_x: i
             jnp.zeros((num_tiles, PIXELS_PER_TILE), jnp.bool_),
             jnp.zeros((num_tiles, PIXELS_PER_TILE), jnp.int32),
         ),
-        blocks.entry_data,
+        stream.entry_data,
     )
 
     def step(carry, xs):
         image, trans, done, count = carry
-        rows, tile, pos = xs
-        entries = EntryBlock.from_rows(rows)
+        tile, sblk, r0, r1, first = xs
+        blk = jax.lax.dynamic_slice(
+            stream.entry_data, (0, sblk * b), (rows, b)
+        )
+        entries = entries_from_rows(blk, stream.packed)
         pix_x, pix_y = _pixel_coords(tile, tile_count_x)
         state = ForwardState(
             color=jax.lax.dynamic_slice(image, (tile, 0, 0), (1, 3, PIXELS_PER_TILE))[0],
@@ -472,15 +542,16 @@ def rasterize_forward_xla(blocks: TileBlocks, *, num_tiles: int, tile_count_x: i
             done=jax.lax.dynamic_slice(done, (tile, 0), (1, PIXELS_PER_TILE)),
             rendered_count=jax.lax.dynamic_slice(count, (tile, 0), (1, PIXELS_PER_TILE)),
         )
-        # Reset at the first block of a tile (the scan visits tiles in order).
-        is_first = pos == 0
+        # Reset at the first step of a tile (steps visit tiles in order).
+        is_first = first == 1
         state = ForwardState(
             color=jnp.where(is_first, 0.0, state.color),
             transmittance=jnp.where(is_first, 1.0, state.transmittance),
             done=jnp.where(is_first, False, state.done),
             rendered_count=jnp.where(is_first, 0, state.rendered_count),
         )
-        new = forward_batch(state, entries, pix_x, pix_y, pos * b)
+        mask, base_pos, _, _ = _window(sblk, r0, r1, b)
+        new = forward_batch(state, entries, pix_x, pix_y, base_pos, mask)
         image = jax.lax.dynamic_update_slice(image, new.color[None], (tile, 0, 0))
         trans = jax.lax.dynamic_update_slice(trans, new.transmittance, (tile, 0))
         done = jax.lax.dynamic_update_slice(done, new.done, (tile, 0))
@@ -488,37 +559,45 @@ def rasterize_forward_xla(blocks: TileBlocks, *, num_tiles: int, tile_count_x: i
         return (image, trans, done, count), None
 
     (image, trans, _, count), _ = jax.lax.scan(
-        step, init, (entry, blocks.tile_of_block, blocks.block_pos)
+        step,
+        init,
+        (stream.step_tile, stream.step_block, stream.step_r0,
+         stream.step_r1, stream.step_first),
     )
     return image, trans, count
 
 
 def rasterize_backward_xla(
-    blocks: TileBlocks,
+    stream: EntryStream,
     grad_tiles: jax.Array,
     gdotc_tiles: jax.Array,
     count_tiles: jax.Array,
     *,
     tile_count_x: int,
 ) -> jax.Array:
-    b = blocks.block_size
-    nb = blocks.tile_of_block.shape[0]
-    entry = blocks.entry_data.reshape(ENTRY_COLUMNS, nb, b).transpose(1, 2, 0)
+    b = stream.block_size
+    rows = stream.entry_data.shape[0]
+    capacity = stream.entry_data.shape[1]
+    out_dtype = jnp.int32 if stream.packed else jnp.float32
 
     init = _match_vma(
         (
             jnp.ones((grad_tiles.shape[0], PIXELS_PER_TILE), jnp.float32),
             jnp.zeros((grad_tiles.shape[0], PIXELS_PER_TILE), jnp.float32),
+            jnp.zeros((rows, capacity), out_dtype),
         ),
         grad_tiles,
     )
 
     def step(carry, xs):
-        trans, prefix = carry
-        rows, tile, pos = xs
-        entries = EntryBlock.from_rows(rows)
+        trans, prefix, gradbuf = carry
+        tile, sblk, r0, r1, first = xs
+        blk = jax.lax.dynamic_slice(
+            stream.entry_data, (0, sblk * b), (rows, b)
+        )
+        entries = entries_from_rows(blk, stream.packed)
         pix_x, pix_y = _pixel_coords(tile, tile_count_x)
-        is_first = pos == 0
+        is_first = first == 1
         state = BackwardState(
             transmittance=jnp.where(
                 is_first,
@@ -536,8 +615,9 @@ def rasterize_backward_xla(
         )[0]
         gdotc = jax.lax.dynamic_slice(gdotc_tiles, (tile, 0), (1, PIXELS_PER_TILE))
         cnt = jax.lax.dynamic_slice(count_tiles, (tile, 0), (1, PIXELS_PER_TILE))
+        mask, base_pos, lo, hi = _window(sblk, r0, r1, b)
         new_state, grads = backward_batch(
-            state, entries, pix_x, pix_y, pos * b, g, gdotc, cnt
+            state, entries, pix_x, pix_y, base_pos, g, gdotc, cnt, mask
         )
         trans = jax.lax.dynamic_update_slice(
             trans, new_state.transmittance, (tile, 0)
@@ -545,18 +625,37 @@ def rasterize_backward_xla(
         prefix = jax.lax.dynamic_update_slice(
             prefix, new_state.grad_prefix, (tile, 0)
         )
-        out = jnp.concatenate(
-            [grads.color, grads.conic, grads.opacity, grads.pos_2d], axis=-1
-        )
-        return (trans, prefix), out
+        lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+        mask_row = (lane_row >= lo) & (lane_row < hi)
+        cur = jax.lax.dynamic_slice(gradbuf, (0, sblk * b), (rows, b))
+        merged = jnp.where(mask_row, grads_to_rows(grads, stream.packed), cur)
+        gradbuf = jax.lax.dynamic_update_slice(gradbuf, merged, (0, sblk * b))
+        return (trans, prefix, gradbuf), None
 
-    _, outs = jax.lax.scan(
-        step, init, (entry, blocks.tile_of_block, blocks.block_pos)
+    (_, _, gradbuf), _ = jax.lax.scan(
+        step,
+        init,
+        (stream.step_tile, stream.step_block, stream.step_r0,
+         stream.step_r1, stream.step_first),
     )
-    return outs.transpose(2, 0, 1).reshape(ENTRY_COLUMNS, nb * b)
+    return gradbuf
 
 
 # --- tiled <-> image layout helpers --------------------------------------------
+
+
+def mask_empty_tiles(image_tiles, trans_tiles, count_tiles, tile_ranges):
+    """Force empty tiles (never visited by any step) to the initial state.
+
+    The Pallas kernels only write output blocks their steps visit; a tile
+    with an empty segment is all background by definition.
+    """
+    empty = tile_ranges[:, 0] >= tile_ranges[:, 1]
+    return (
+        jnp.where(empty[:, None, None], 0.0, image_tiles),
+        jnp.where(empty[:, None], 1.0, trans_tiles),
+        jnp.where(empty[:, None], 0, count_tiles),
+    )
 
 
 def untile_image(image_tiles: jax.Array, tile_count_x: int, tile_count_y: int,

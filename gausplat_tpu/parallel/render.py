@@ -11,8 +11,9 @@ composing the single-view custom-VJP render core with ``jax.vmap`` and
   all-reduce rides ICI.
 
 - **Tile-sharded**: one large frame is split by *tile rows* across the
-  axis. Each device renders its horizontal slab by shifting the camera's
-  principal point (``image_size_half_y``) — binning then produces only the
+  axis. Each device renders its horizontal slab via the camera's exact
+  screen-origin shift (``Camera.pos2d_shift`` — bitwise identical to the
+  matching rows of a full-frame render) — binning then produces only the
   slab's tiles, so the sort/raster work is 1/D per device. Per-point radii
   are combined with ``pmax``; parameter gradients again psum via the
   shard_map transpose.
@@ -21,10 +22,11 @@ Note on the densification signal under sharding: the reference computes
 ``positions_2d_grad_norm`` per view (transform_backward/kernel.wgsl:364-370)
 and the downstream 3DGS densifier *accumulates norms additively across
 views*. The data-parallel gradient of the dummy ref reproduces exactly that
-(sum of per-view norms). Under tile sharding, a Gaussian spanning a slab
-boundary contributes the sum of its per-slab norms rather than the norm of
-the summed gradient — a conservative (>=) approximation of the single-chip
-value.
+(sum of per-view norms). Under tile sharding the per-slab 2-D position
+gradients are psum'd across the slab axis *before* the norm (and the norm
+is taken against the full-frame half-size, not the slab-shifted camera's),
+so the signal equals the single-chip value exactly — see
+``grad_norm_psum_axis`` in :func:`gausplat_tpu.render.pipeline._build_render_fn`.
 """
 
 from __future__ import annotations
@@ -65,7 +67,15 @@ from ..render.view import View
 from ..scene.gaussian_3d import GaussianScene
 
 
-def _core(view_w, view_h, point_count, options: RenderOptions, capacity=None):
+def _core(
+    view_w,
+    view_h,
+    point_count,
+    options: RenderOptions,
+    capacity=None,
+    grad_norm_half=None,
+    grad_norm_psum_axis=None,
+):
     return _build_render_fn(
         view_w,
         view_h,
@@ -75,7 +85,17 @@ def _core(view_w, view_h, point_count, options: RenderOptions, capacity=None):
         options.block_size,
         _resolve_backend(options.backend),
         options.interpret,
+        options.entry_dtype == "bf16",
+        grad_norm_half,
+        grad_norm_psum_axis,
     )
+
+
+def _shard_capacity(capacity: int, d: int, block_size: int) -> int:
+    """Per-shard tile-entry capacity: the global budget split D ways,
+    rounded up to a block multiple (the stream kernels require it)."""
+    local = max(capacity // d, 1 << 14)
+    return -(-local // block_size) * block_size
 
 
 def stack_cameras(views) -> Camera:
@@ -158,7 +178,7 @@ def render_tile_sharded(
     """Render one frame with its tile rows sharded over ``mesh[axis]``.
 
     The image is padded to a multiple of ``D * 16`` rows; each device
-    renders a horizontal slab via a shifted principal point and the slabs
+    renders a horizontal slab via the exact screen-origin shift and the slabs
     are concatenated (sharded) along the row axis. Entry-buffer capacity is
     divided by D (each slab bins only its own tiles).
     """
@@ -170,8 +190,16 @@ def render_tile_sharded(
     h_local = (tcy_pad // d) * TILE_SIZE_Y
     h_pad = h_local * d
 
-    cap_local = max(_capacity(p, options) // d, 1 << 14)
-    fn = _core(w, h_local, p, options, capacity=cap_local)
+    cap_local = _shard_capacity(_capacity(p, options), d, options.block_size)
+    fn = _core(
+        w,
+        h_local,
+        p,
+        options,
+        capacity=cap_local,
+        grad_norm_half=(w / 2.0, h / 2.0),
+        grad_norm_psum_axis=axis,
+    )
     camera = Camera.from_view(view)
     if positions_2d_grad_norm_ref is None:
         positions_2d_grad_norm_ref = jnp.zeros((p,), jnp.float32)
@@ -180,8 +208,7 @@ def render_tile_sharded(
         idx = jax.lax.axis_index(axis)
         y0 = (idx * h_local).astype(jnp.float32)
         cam_local = dataclasses.replace(
-            cam,
-            image_size_half=cam.image_size_half - jnp.stack([jnp.float32(0), y0]),
+            cam, pos2d_shift=jnp.stack([jnp.float32(0), y0])
         )
         out = fn(
             colors_sh, opacities, positions, rotations, scalings, ref, cam_local

@@ -45,10 +45,12 @@ from ..errors import (
     UnsupportedSphericalHarmonicsDegreeError,
 )
 from ..ops.binning import bin_gaussians
+from ..ops.blend import grad_rows_to_components
 from ..ops.prefix import prefix_sum
 from ..ops.projection import Camera, project_gaussians
 from ..ops.rasterize import (
-    build_tile_blocks,
+    build_entry_stream,
+    mask_empty_tiles,
     pack_point_data,
     rasterize_backward_pallas,
     rasterize_backward_xla,
@@ -78,6 +80,10 @@ class RenderOptions:
     backend: str = "auto"
     #: Run Pallas kernels in interpreter mode (debugging).
     interpret: bool = False
+    #: Per-entry data precision: 'f32' (reference parity) or 'bf16'
+    #: (packed bf16-pair rows — halves the rasterizer's HBM traffic;
+    #: positions and accumulation stay f32).
+    entry_dtype: str = "f32"
 
 
 class RenderOutput(NamedTuple):
@@ -116,6 +122,9 @@ def _build_render_fn(
     block_size: int,
     backend: str,
     interpret: bool,
+    packed: bool = False,
+    grad_norm_half: Optional[tuple] = None,
+    grad_norm_psum_axis: Optional[str] = None,
 ):
     """Build the (unjitted) custom-VJP render core for a static config.
 
@@ -124,6 +133,14 @@ def _build_render_fn(
     positions_2d_grad_norm_ref, camera)`` and composes with ``jax.vmap``
     (view batching) and ``jax.shard_map`` (tile sharding / data
     parallelism) — see :mod:`gausplat_tpu.parallel`.
+
+    ``grad_norm_half``: static (half_width, half_height) used for the
+    densification grad norm instead of the camera's (which is shifted
+    per-slab under tile sharding — the signal must use the full-frame
+    scale). ``grad_norm_psum_axis``: mesh axis over which the 2-D position
+    gradient is summed *before* taking the norm, so slab-spanning Gaussians
+    get the exact single-chip norm (divided by the axis size because the
+    shard_map transpose psums the replicated ref cotangent afterwards).
     """
     tile_count_x = -(-image_width // TILE_SIZE_X)
     tile_count_y = -(-image_height // TILE_SIZE_Y)
@@ -152,29 +169,32 @@ def _build_render_fn(
                 tile_count_y=tile_count_y,
                 capacity=capacity,
             )
-        with jax.named_scope("gausplat.gather_blocks"):
+        with jax.named_scope("gausplat.entry_stream"):
             opac_outer = jax.nn.sigmoid(opacities[:, 0])
-            point_data = pack_point_data(proj, opac_outer)
-            blocks = build_tile_blocks(
+            point_data = pack_point_data(proj, opac_outer, packed)
+            stream = build_entry_stream(
                 point_data,
                 binning.point_indices,
                 binning.tile_ranges,
-                binning.entry_ids,
                 block_size=block_size,
+                packed=packed,
             )
         with jax.named_scope("gausplat.rasterize"):
             if backend == "pallas":
                 image_tiles, trans_tiles, count_tiles = rasterize_forward_pallas(
-                    blocks,
+                    stream,
                     num_tiles=num_tiles,
                     tile_count_x=tile_count_x,
                     interpret=interpret,
                 )
             else:
                 image_tiles, trans_tiles, count_tiles = rasterize_forward_xla(
-                    blocks, num_tiles=num_tiles, tile_count_x=tile_count_x
+                    stream, num_tiles=num_tiles, tile_count_x=tile_count_x
                 )
-        return proj, binning, blocks, image_tiles, trans_tiles, count_tiles
+            image_tiles, trans_tiles, count_tiles = mask_empty_tiles(
+                image_tiles, trans_tiles, count_tiles, binning.tile_ranges
+            )
+        return proj, binning, stream, image_tiles, trans_tiles, count_tiles
 
     @jax.custom_vjp
     def render_fn(
@@ -192,7 +212,7 @@ def _build_render_fn(
         positions_2d_grad_norm_ref, camera,
     ):
         del positions_2d_grad_norm_ref  # value unused; its *grad* is the signal
-        proj, binning, blocks, image_tiles, trans_tiles, count_tiles = (
+        proj, binning, stream, image_tiles, trans_tiles, count_tiles = (
             _forward_internals(
                 colors_sh, opacities, positions, rotations, scalings, camera
             )
@@ -213,7 +233,7 @@ def _build_render_fn(
         )
         residuals = (
             colors_sh, opacities, positions, rotations, scalings, camera,
-            blocks, binning.point_offsets, binning.total,
+            stream, binning.point_offsets, binning.total,
             image_tiles, count_tiles,
         )
         return out, residuals
@@ -221,7 +241,7 @@ def _build_render_fn(
     def _render_bwd(residuals, cotangents):
         (
             colors_sh, opacities, positions, rotations, scalings, camera,
-            blocks, point_offsets, entry_total,
+            stream, point_offsets, entry_total,
             image_tiles, count_tiles,
         ) = residuals
         grad_image = cotangents.colors_rgb_2d  # [H, W, 3]
@@ -231,7 +251,7 @@ def _build_render_fn(
 
         if backend == "pallas":
             entry_grads = rasterize_backward_pallas(
-                blocks,
+                stream,
                 grad_tiles,
                 gdotc_tiles,
                 count_tiles,
@@ -240,7 +260,7 @@ def _build_render_fn(
             )
         else:
             entry_grads = rasterize_backward_xla(
-                blocks,
+                stream,
                 grad_tiles,
                 gdotc_tiles,
                 count_tiles,
@@ -249,27 +269,35 @@ def _build_render_fn(
 
         # Deterministic, scatter-free gradient accumulation over duplicated
         # entries (replaces atomicAdd: rasterize_backward/kernel.wgsl:
-        # 255-269). Pre-sort entry slots are grouped contiguously by source
-        # point, so: permute the per-entry grads back to pre-sort order
-        # (one integer sort to invert the aligned->pre-sort map), take a
-        # tiled prefix sum, and difference it at each point's slot span.
-        # TPU scatter-add over duplicate indices (segment_sum) is ~10x
-        # slower.
+        # 255-269): a stable sort by source point id groups each point's
+        # entry grads contiguously (in the same tile-ascending order they
+        # hold pre-sort, so the f32 summation order is reproducible); a
+        # tiled prefix sum differenced at each point's span end yields the
+        # per-point totals. TPU scatter-add over duplicate indices
+        # (segment_sum) is ~10x slower; sorting the grads as payload
+        # columns beats gathering the same volume through an inverse
+        # permutation.
         with jax.named_scope("gausplat.grad_reduce"):
-            # Sort the grads themselves into pre-sort (point-grouped) order
-            # — TPU sorts with payload columns are far cheaper than random
-            # gathers of the same volume.
+            valid_count = jnp.minimum(entry_total, jnp.int32(capacity))
+            # Zero rows at padding positions (beyond any tile segment —
+            # the Pallas kernel leaves them unwritten).
+            slot_valid = (
+                jnp.arange(capacity, dtype=jnp.int32) < valid_count
+            )
+            entry_grads = jnp.where(slot_valid[None, :], entry_grads, 0)
             sorted_ops = jax.lax.sort(
-                (blocks.entry_unsorted,)
+                (stream.entry_point,)
                 + tuple(entry_grads[c] for c in range(entry_grads.shape[0])),
                 dimension=0,
+                is_stable=True,
                 num_keys=1,
             )
-            grads_unsorted = sorted_ops[1:]
-            valid_count = jnp.minimum(entry_total, jnp.int32(capacity))
+            # (grad_rows_to_components indexes rows; a tuple of [cap]
+            # arrays avoids materializing a stacked copy.)
+            grads_by_point = grad_rows_to_components(sorted_ops[1:], packed)
             hi_idx = jnp.minimum(point_offsets, valid_count) - 1
             d_comp = []
-            for gu in grads_unsorted:
+            for gu in grads_by_point:
                 cs = prefix_sum(gu)
                 # Inclusive prefix through each point's span end; the span
                 # start is the previous point's end, so one gather suffices.
@@ -303,10 +331,27 @@ def _build_render_fn(
 
         # Densification signal (transform_backward/kernel.wgsl:364-370):
         # || dL/d pos2d * [I_x / 2, I_y / 2] ||, in half-pixel units.
-        grad_norm = jnp.sqrt(
-            (d_comp[7] * camera.image_size_half[0]) ** 2
-            + (d_comp[8] * camera.image_size_half[1]) ** 2
-        )
+        # Under tile sharding the camera's half-size is slab-shifted, so the
+        # full-frame value is threaded in statically; the pos-2d gradient is
+        # summed across the slabs first so boundary-spanning Gaussians get
+        # the exact single-chip norm.
+        gx, gy = d_comp[7], d_comp[8]
+        if grad_norm_psum_axis is not None:
+            axis_size = jax.lax.psum(1, grad_norm_psum_axis)
+            gx = jax.lax.psum(gx, grad_norm_psum_axis)
+            gy = jax.lax.psum(gy, grad_norm_psum_axis)
+        if grad_norm_half is not None:
+            hx = jnp.float32(grad_norm_half[0])
+            hy = jnp.float32(grad_norm_half[1])
+        else:
+            hx = camera.image_size_half[0]
+            hy = camera.image_size_half[1]
+        grad_norm = jnp.sqrt((gx * hx) ** 2 + (gy * hy) ** 2)
+        if grad_norm_psum_axis is not None:
+            # The shard_map transpose psums the replicated ref cotangent
+            # over every mesh axis; pre-divide so the tile axis contributes
+            # the norm exactly once.
+            grad_norm = grad_norm / axis_size
 
         zero_camera = jax.tree_util.tree_map(jnp.zeros_like, camera)
         return (
@@ -341,6 +386,10 @@ def render(
 
     if options.colors_sh_degree_max > SH_DEGREE_MAX:
         raise UnsupportedSphericalHarmonicsDegreeError(options.colors_sh_degree_max)
+    if options.entry_dtype not in ("f32", "bf16"):
+        raise ValueError(
+            f"entry_dtype must be 'f32' or 'bf16', got {options.entry_dtype!r}"
+        )
     if pixel_count == 0 or pixel_count > PIXEL_COUNT_MAX:
         raise InvalidPixelCountError(pixel_count)
     if point_count == 0:
@@ -355,6 +404,7 @@ def render(
         options.block_size,
         _resolve_backend(options.backend),
         options.interpret,
+        options.entry_dtype == "bf16",
     )
     if positions_2d_grad_norm_ref is None:
         positions_2d_grad_norm_ref = jnp.zeros((point_count,), jnp.float32)

@@ -142,14 +142,25 @@ class GaussianScene:
     # -- constructors ----------------------------------------------------------
 
     @classmethod
-    def from_points(cls, points: Points, seed: int = SEED) -> "GaussianScene":
+    def from_points(
+        cls,
+        points: Points,
+        seed: int = SEED,
+        seed_compat: str = "reference",
+    ) -> "GaussianScene":
         """Initialise a scene from an SfM point cloud.
 
         Mirrors import.rs:92-258: SH DC from RGB, opacity 0.1, identity
         rotations, seeded LogNormal(0, e) scales normalized by the max then
-        sqrt'd and repeated over the 3 axes. The RNG stream differs from the
-        reference (Rust StdRng vs NumPy PCG64); the distribution and all
-        other constants are identical.
+        sqrt'd and repeated over the 3 axes.
+
+        ``seed_compat="reference"`` (default) draws the scale samples from
+        a bit-compatible reimplementation of the reference's RNG stream
+        (Rust ``StdRng(0x3D65)`` = ChaCha12 + the rand_distr ziggurat —
+        :mod:`gausplat_tpu.utils.rand_compat`), so point-cloud-initialized
+        scenes match the reference's numerically. ``seed_compat="numpy"``
+        uses NumPy's PCG64 (same distribution, different stream; ~2x
+        faster on multi-million-point clouds).
         """
         point_count = len(points)
 
@@ -165,10 +176,15 @@ class GaussianScene:
             np.array([0.0, 0.0, 0.0, 1.0], np.float32), (point_count, 1)
         )
 
-        rng = np.random.default_rng(seed)
-        samples = rng.lognormal(
-            mean=0.0, sigma=float(np.e), size=(point_count, 1)
-        ).astype(np.float32)
+        if seed_compat == "reference":
+            from ..utils.rand_compat import reference_lognormal_e_f32
+
+            samples = reference_lognormal_e_f32(point_count, seed)[:, None]
+        else:
+            rng = np.random.default_rng(seed)
+            samples = rng.lognormal(
+                mean=0.0, sigma=float(np.e), size=(point_count, 1)
+            ).astype(np.float32)
         samples = np.maximum(samples, _F32_EPS)
         sample_max = max(float(samples.max()) if point_count else 0.0, _F32_EPS)
         scalings = np.sqrt(samples / np.float32(sample_max))

@@ -64,7 +64,41 @@ def load_training_state(
     )
     opt_state = payload.get("opt_state")
     if opt_state is not None and opt_state_template is not None:
-        leaves = jax.tree_util.tree_leaves(opt_state)
+        # Restore against the template structure *with validation*: orbax
+        # returns plain nested containers, so rebuilding by leaf order is
+        # only sound if the keyed paths line up — verify every leaf path
+        # (names + order), not just the count, so a changed optimizer
+        # layout fails loudly instead of silently scrambling moments.
+        restored = jax.tree_util.tree_flatten_with_path(opt_state)[0]
+        wanted = jax.tree_util.tree_flatten_with_path(opt_state_template)[0]
+
+        def _names(path):
+            out = []
+            for p in path:
+                key = getattr(p, "key", getattr(p, "name", getattr(p, "idx", p)))
+                out.append(str(key))
+            return tuple(out)
+
+        got_paths = [_names(p) for p, _ in restored]
+        want_paths = [_names(p) for p, _ in wanted]
+        if got_paths != want_paths:
+            mismatch = next(
+                (a, b)
+                for a, b in zip(got_paths + [None], want_paths + [None])
+                if a != b
+            )
+            raise ValueError(
+                "checkpointed optimizer state does not match the template "
+                f"structure; first mismatch: {mismatch}"
+            )
+        for (gp, gleaf), (_, wleaf) in zip(restored, wanted):
+            if np.shape(gleaf) != np.shape(wleaf):
+                raise ValueError(
+                    f"optimizer-state leaf {'/'.join(_names(gp))} shape "
+                    f"{np.shape(gleaf)} != template {np.shape(wleaf)}"
+                )
         treedef = jax.tree_util.tree_structure(opt_state_template)
-        opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+        opt_state = jax.tree_util.tree_unflatten(
+            treedef, [leaf for _, leaf in restored]
+        )
     return scene, opt_state, int(payload["step"])

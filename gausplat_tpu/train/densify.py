@@ -20,6 +20,17 @@ import jax.numpy as jnp
 from ..scene.gaussian_3d import GaussianScene
 
 
+def zero_densify_acc(point_count: int) -> dict:
+    """Fresh on-device densification accumulators (grad-norm sums,
+    visibility counts, max radii), shared by the single-device Trainer and
+    the sharded train step."""
+    return {
+        "grad_norm_sum": jnp.zeros((point_count,), jnp.float32),
+        "visible_count": jnp.zeros((point_count,), jnp.int32),
+        "max_radii": jnp.zeros((point_count,), jnp.int32),
+    }
+
+
 @dataclasses.dataclass(frozen=True)
 class DensifyConfig:
     grad_threshold: float = 2.0e-4
@@ -143,3 +154,18 @@ def reset_opacity(
     import dataclasses as _dc
 
     return _dc.replace(scene, opacities=jnp.asarray(inner))
+
+
+def camera_extent(views) -> float:
+    """Scene extent from the training cameras, as standard 3DGS derives it
+    (radius of the camera-center bounding sphere x 1.1). Feed this into
+    ``DensifyConfig.scene_extent`` and ``OptimizerConfig.scene_extent`` —
+    the densify size thresholds and the position learning rate are keyed
+    to it (the reference leaves training to its downstream crate; these
+    are that crate's conventions)."""
+    centers = np.stack(
+        [np.asarray(v.view_position, np.float64) for v in views]
+    )
+    center = centers.mean(axis=0)
+    radius = float(np.linalg.norm(centers - center, axis=1).max())
+    return max(radius * 1.1, 1e-6)

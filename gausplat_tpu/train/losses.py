@@ -44,8 +44,8 @@ def _blur(img: jax.Array, window: np.ndarray) -> jax.Array:
     return x[:, 0].transpose(1, 2, 0)
 
 
-def ssim(a: jax.Array, b: jax.Array, size: int = 11, sigma: float = 1.5) -> jax.Array:
-    """Mean SSIM between two [H, W, C] images in [0, 1]."""
+def ssim_map(a: jax.Array, b: jax.Array, size: int = 11, sigma: float = 1.5) -> jax.Array:
+    """Per-pixel SSIM map between two [H, W, C] images (SAME zero padding)."""
     w = _gaussian_window(size, sigma)
     mu_a, mu_b = _blur(a, w), _blur(b, w)
     mu_aa, mu_bb, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
@@ -54,7 +54,12 @@ def ssim(a: jax.Array, b: jax.Array, size: int = 11, sigma: float = 1.5) -> jax.
     sig_ab = _blur(a * b, w) - mu_ab
     num = (2 * mu_ab + SSIM_C1) * (2 * sig_ab + SSIM_C2)
     den = (mu_aa + mu_bb + SSIM_C1) * (sig_a + sig_b + SSIM_C2)
-    return jnp.mean(num / den)
+    return num / den
+
+
+def ssim(a: jax.Array, b: jax.Array, size: int = 11, sigma: float = 1.5) -> jax.Array:
+    """Mean SSIM between two [H, W, C] images in [0, 1]."""
+    return jnp.mean(ssim_map(a, b, size, sigma))
 
 
 def photometric_loss(

@@ -30,7 +30,13 @@ from ..render.pipeline import (
 )
 from ..render.view import View
 from ..scene.gaussian_3d import GaussianScene
-from .densify import DensifyConfig, DensifyState, densify_and_prune, reset_opacity
+from .densify import (
+    DensifyConfig,
+    DensifyState,
+    densify_and_prune,
+    reset_opacity,
+    zero_densify_acc,
+)
 from .losses import photometric_loss, psnr
 from .optimizer import OptimizerConfig, make_optimizer
 
@@ -47,6 +53,10 @@ class TrainConfig:
     #: Grow the tile-entry buffer when usage crosses this fraction.
     capacity_grow_at: float = 0.85
     capacity_grow_factor: float = 2.0
+    #: Steps between device->host reads of the overflow watermark. The
+    #: per-step path performs no host sync; the buffer is sized with
+    #: ``capacity_grow_at`` headroom so a few stale steps cannot clip.
+    overflow_check_interval: int = 50
     optimizer: OptimizerConfig = OptimizerConfig()
     densify: DensifyConfig = DensifyConfig()
     render: RenderOptions = RenderOptions()
@@ -104,15 +114,51 @@ def _make_train_step(
         }
         return scene, opt_state, densify_acc, metrics
 
-    return step, optimizer
+    @jax.jit
+    def step_batch(scene, opt_state, densify_acc, cameras, targets):
+        """vmap'd multi-view variant: one update from the mean loss over a
+        view batch (cameras: batched Camera pytree [V, ...]; targets
+        [V, H, W, 3]). Densify signals accumulate per view, matching V
+        successive single-view steps' statistics."""
+        ref = jnp.zeros((point_count,), jnp.float32)
+
+        def batch_loss(scene, ref, cameras, targets):
+            losses, outs = jax.vmap(
+                loss_fn, in_axes=(None, None, 0, 0)
+            )(scene, ref, cameras, targets)
+            return jnp.mean(losses), outs
+
+        (loss, outs), (grads, grad_norm) = jax.value_and_grad(
+            batch_loss, argnums=(0, 1), has_aux=True
+        )(scene, ref, cameras, targets)
+        updates, opt_state = optimizer.update(grads, opt_state, scene)
+        scene = jax.tree_util.tree_map(lambda p, u: p + u, scene, updates)
+        visible = outs.radii > 0  # [V, P]
+        n_views = targets.shape[0]
+        densify_acc = {
+            # grad_norm (the shared ref's cotangent) sums the per-view
+            # norms of the *mean* loss's gradients — scale by V so the
+            # accumulated statistic equals V successive single-view steps
+            # (each with a per-view mean loss). Invisible points are 0.
+            "grad_norm_sum": densify_acc["grad_norm_sum"]
+            + grad_norm * n_views,
+            "visible_count": densify_acc["visible_count"]
+            + jnp.sum(visible.astype(jnp.int32), axis=0),
+            "max_radii": jnp.maximum(
+                densify_acc["max_radii"], jnp.max(outs.radii, axis=0)
+            ),
+        }
+        metrics = {
+            "loss": loss,
+            "psnr": psnr(outs.colors_rgb_2d, targets),
+            "tile_point_total": jnp.max(outs.tile_point_total),
+        }
+        return scene, opt_state, densify_acc, metrics
+
+    return step, optimizer, step_batch
 
 
-def _zero_densify_acc(point_count: int):
-    return {
-        "grad_norm_sum": jnp.zeros((point_count,), jnp.float32),
-        "visible_count": jnp.zeros((point_count,), jnp.int32),
-        "max_radii": jnp.zeros((point_count,), jnp.int32),
-    }
+_zero_densify_acc = zero_densify_acc
 
 
 class Trainer:
@@ -170,8 +216,15 @@ class Trainer:
     # -- public API ------------------------------------------------------------
 
     def train_step(self, view: View, target: jax.Array) -> dict:
-        """One optimization step against one view. Returns metrics."""
-        step, optimizer = self._get_step()
+        """One optimization step against one view.
+
+        Returns metrics as *device* scalars — the per-step path performs no
+        device->host synchronization (the tunnel round-trip would dominate
+        step time; cf. the pipeline's elimination of the reference's one
+        readback). Convert with ``float()``/``jax.device_get`` only when a
+        value is actually needed on the host.
+        """
+        step, optimizer, _ = self._get_step()
         if self._opt_point_count != self.scene.point_count:
             self._opt_state = optimizer.init(self.scene)
             self._opt_point_count = self.scene.point_count
@@ -185,14 +238,16 @@ class Trainer:
         self.step_count += 1
 
         c = self.config
-        # Overflow watch: grow the static entry buffer before it clips.
-        total = int(metrics["tile_point_total"])
-        if total > c.capacity_grow_at * self._entry_capacity:
-            b = c.render.block_size
-            new_cap = int(total * c.capacity_grow_factor)
-            self._entry_capacity = max(
-                (new_cap + b - 1) // b * b, self._entry_capacity
-            )
+        # Overflow watch at a fixed cadence (no per-step host sync): grow
+        # the static entry buffer when usage approaches capacity.
+        if self.step_count % c.overflow_check_interval == 0:
+            total = int(metrics["tile_point_total"])
+            if total > c.capacity_grow_at * self._entry_capacity:
+                b = c.render.block_size
+                new_cap = int(total * c.capacity_grow_factor)
+                self._entry_capacity = max(
+                    (new_cap + b - 1) // b * b, self._entry_capacity
+                )
         in_densify_phase = (
             c.densify_from <= self.step_count < c.densify_until
         )
@@ -211,16 +266,40 @@ class Trainer:
             if self.step_count % c.opacity_reset_interval == 0:
                 self.scene = reset_opacity(self.scene, c.densify)
 
-        return {
-            k: (float(v) if jnp.ndim(v) == 0 else v) for k, v in metrics.items()
-        }
+        return metrics
+
+    def train_step_batch(self, views, targets) -> dict:
+        """One optimization step from the mean loss over a view batch
+        (vmap'd single-device multi-view step). Densify statistics match
+        ``len(views)`` successive single-view steps; ``step_count``
+        advances by the batch size so schedules stay comparable."""
+        _, optimizer, step_batch = self._get_step()
+        if self._opt_point_count != self.scene.point_count:
+            self._opt_state = optimizer.init(self.scene)
+            self._opt_point_count = self.scene.point_count
+            self._densify_acc = _zero_densify_acc(self.scene.point_count)
+
+        from ..parallel.render import stack_cameras
+
+        cameras = stack_cameras(views)
+        self.scene, self._opt_state, self._densify_acc, metrics = step_batch(
+            self.scene, self._opt_state, self._densify_acc, cameras,
+            jnp.asarray(np.stack([np.asarray(t) for t in targets])),
+        )
+        self.step_count += len(views)
+        return metrics
 
     def fit(self, views, targets, iterations: Optional[int] = None) -> list:
-        """Round-robin fit over (views, targets). Returns metric history."""
+        """Round-robin fit over (views, targets). Returns metric history
+        (fetched to host floats in one transfer at the end)."""
         iterations = iterations or self.config.iterations
         history = []
         n = len(views)
         for i in range(iterations):
             j = i % n
             history.append(self.train_step(views[j], targets[j]))
-        return history
+        history = jax.device_get(history)
+        return [
+            {k: (float(v) if np.ndim(v) == 0 else v) for k, v in h.items()}
+            for h in history
+        ]

@@ -1,16 +1,34 @@
-import sys; sys.path.insert(0, "/root/repo")
-import time, numpy as np, jax, jax.numpy as jnp
-from bench import _make_inputs
-from gausplat_tpu.ops.binning import (make_point_orders, sort_entries,
-    tile_ranges_from_keys)
-from gausplat_tpu.ops.projection import project_gaussians
-from gausplat_tpu.ops.rasterize import (build_tile_blocks, pack_point_data,
-    rasterize_backward_pallas, rasterize_forward_pallas)
+"""Per-stage budget of the render pipeline on the live device.
 
-P, CAP, B = 1_000_000, 4_000_000, 256
+Chained honest timing (positions perturbed per step). Env knobs:
+PROF_POINTS, PROF_CAP, PROF_BLOCK, PROF_PACKED=1 (bf16 entry rows),
+PROF_STAGE (run only through stage k), PROF_ITERS.
+"""
+import os, sys, time
+
+sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp
+
+from bench import _make_inputs
+from gausplat_tpu.ops.binning import (
+    make_point_orders, sort_entries, tile_ranges_from_keys,
+)
+from gausplat_tpu.ops.blend import grad_rows_to_components
+from gausplat_tpu.ops.prefix import prefix_sum
+from gausplat_tpu.ops.projection import project_gaussians
+from gausplat_tpu.ops.rasterize import (
+    build_entry_stream, pack_point_data,
+    rasterize_backward_pallas, rasterize_forward_pallas,
+)
+
+P = int(os.environ.get("PROF_POINTS", 1_000_000))
+CAP = int(os.environ.get("PROF_CAP", 4_194_304))
+B = int(os.environ.get("PROF_BLOCK", 256))
+PACKED = os.environ.get("PROF_PACKED", "0") == "1"
 W, H, TCX, TCY = 1920, 1080, 120, 68
 scene, cam = _make_inputs(P, W, H)
 gimg = jnp.zeros((TCY * TCX, 3, 256), jnp.float32)
+
 
 def run(pos, i, stage):
     csh = scene.colors_sh
@@ -19,43 +37,61 @@ def run(pos, i, stage):
         cam, sh_degree=3, tile_count_x=TCX, tile_count_y=TCY)
     acc = proj.depths.sum() + proj.color_r.sum() + proj.conic_xx.sum()
     if stage < 1: return acc
-    keys, src, offsets_inc, total = make_point_orders(proj.depths, proj.tile_x_max,
-        proj.tile_x_min, proj.tile_y_min, proj.tile_counts, tile_count_x=TCX, capacity=CAP)
+    keys, src, offsets_inc, total = make_point_orders(
+        proj.depths, proj.tile_x_max, proj.tile_x_min, proj.tile_y_min,
+        proj.tile_counts, tile_count_x=TCX, capacity=CAP)
     acc = acc + keys[-1].astype(jnp.float32) + src[-1].astype(jnp.float32)
     if stage < 2: return acc
-    slots = jnp.arange(CAP, dtype=jnp.int32)
-    sk, seids = sort_entries(keys, slots)
-    in_range = slots < jnp.minimum(total, jnp.int32(CAP))
-    sv = jnp.where(in_range, src[seids], jnp.int32(P))
+    sk, sv = sort_entries(keys, src)
     acc = acc + sk[-1].astype(jnp.float32) + sv[-1].astype(jnp.float32)
     if stage < 3: return acc
-    ranges = tile_ranges_from_keys(sk, total, num_tiles=TCX*TCY)
+    ranges = tile_ranges_from_keys(sk, total, num_tiles=TCX * TCY)
     acc = acc + ranges.sum().astype(jnp.float32)
     if stage < 4: return acc
-    pd = pack_point_data(proj, jax.nn.sigmoid(scene.opacities[:, 0]))
-    blocks = build_tile_blocks(pd, sv, ranges, seids, block_size=B)
-    acc = acc + blocks.entry_data[0].sum() + blocks.entry_point[-1].astype(jnp.float32)
+    pd = pack_point_data(proj, jax.nn.sigmoid(scene.opacities[:, 0]), PACKED)
+    stream = build_entry_stream(pd, sv, ranges, block_size=B, packed=PACKED)
+    acc = acc + stream.entry_data[0].sum().astype(jnp.float32) \
+        + stream.step_block[-1].astype(jnp.float32)
     if stage < 5: return acc
-    it, tt, ct = rasterize_forward_pallas(blocks, num_tiles=TCX*TCY, tile_count_x=TCX)
+    it, tt, ct = rasterize_forward_pallas(
+        stream, num_tiles=TCX * TCY, tile_count_x=TCX)
     acc = acc + it.sum()
     if stage < 6: return acc
     gdotc = jnp.sum(gimg * it, axis=1)
-    eg = rasterize_backward_pallas(blocks, gimg, gdotc, ct, tile_count_x=TCX)
-    acc = acc + eg[0].sum()
+    eg = rasterize_backward_pallas(stream, gimg, gdotc, ct, tile_count_x=TCX)
+    acc = acc + eg[0].sum().astype(jnp.float32)
     if stage < 7: return acc
-    for c in range(9):
-        acc = acc + jax.ops.segment_sum(eg[c], blocks.entry_point, num_segments=P+1)[:P].sum()
+    valid = jnp.arange(CAP, dtype=jnp.int32) < jnp.minimum(total, jnp.int32(CAP))
+    eg = jnp.where(valid[None, :], eg, 0)
+    sorted_ops = jax.lax.sort(
+        (stream.entry_point,) + tuple(eg[c] for c in range(eg.shape[0])),
+        dimension=0, is_stable=True, num_keys=1)
+    comps = grad_rows_to_components(sorted_ops[1:], PACKED)
+    hi_idx = jnp.minimum(offsets_inc, jnp.minimum(total, jnp.int32(CAP))) - 1
+    for gu in comps:
+        cs = prefix_sum(gu)
+        hi = jnp.where(hi_idx >= 0, cs[jnp.maximum(hi_idx, 0)], 0.0)
+        acc = acc + hi.sum()
     return acc
 
-names = ["proj", "+expand", "+sort", "+ranges", "+blocks", "+raster_fwd", "+raster_bwd", "+segsum"]
-n = 6
+
+names = ["proj", "+expand", "+sort", "+ranges", "+stream",
+         "+raster_fwd", "+raster_bwd", "+grad_reduce"]
+n = int(os.environ.get("PROF_ITERS", 6))
+only = os.environ.get("PROF_STAGE")
+prev = 0.0
 for stage, name in enumerate(names):
+    if only is not None and stage != int(only):
+        continue
     @jax.jit
     def many(c, stage=stage):
-        a = jnp.float32(0)
-        for i in range(n):
-            a = a + run(c, i, stage)
-        return a
+        # fori_loop, not unrolling: one body compile per stage program
+        # (tunnel compiles of the unrolled chain take tens of minutes).
+        return jax.lax.fori_loop(
+            0, n, lambda i, a: a + run(c, i, stage), jnp.float32(0)
+        )
     float(many(scene.positions))
     t0 = time.time(); float(many(scene.positions))
-    print("%-14s %8.2f ms" % (name, (time.time()-t0)/n*1000), flush=True)
+    cur = (time.time() - t0) / n * 1000
+    print("%-14s %8.2f ms  (+%.2f)" % (name, cur, cur - prev), flush=True)
+    prev = cur

@@ -12,7 +12,7 @@ from gausplat_tpu import GaussianScene, View
 from gausplat_tpu.ops.binning import bin_gaussians
 from gausplat_tpu.ops.projection import Camera, project_gaussians
 from gausplat_tpu.ops.rasterize import (
-    build_tile_blocks,
+    build_entry_stream,
     pack_point_data,
     rasterize_backward_xla,
     rasterize_forward_xla,
@@ -75,17 +75,17 @@ def _forward_pieces(seed=3):
         capacity=CAP,
     )
     pd_t = pack_point_data(proj, jax.nn.sigmoid(jnp.asarray(op_inner[:, 0])))
-    blocks = build_tile_blocks(
+    stream = build_entry_stream(
         pd_t, binning.point_indices, binning.tile_ranges, block_size=B
     )
     # AoS [P, 9] view for the NumPy oracle.
     pd = np.asarray(pd_t).T[:P]
-    return pd, binning, blocks
+    return pd, binning, stream
 
 
 def test_forward_matches_oracle():
-    pd, binning, blocks = _forward_pieces()
-    it, tt, ct = rasterize_forward_xla(blocks, num_tiles=TCX * TCY, tile_count_x=TCX)
+    pd, binning, stream = _forward_pieces()
+    it, tt, ct = rasterize_forward_xla(stream, num_tiles=TCX * TCY, tile_count_x=TCX)
     img = np.asarray(untile_image(it, TCX, TCY, W, H))
     trans = np.asarray(untile_map(tt, TCX, TCY, W, H))
     cnt = np.asarray(untile_map(ct, TCX, TCY, W, H))
@@ -103,15 +103,15 @@ def test_forward_matches_oracle():
 
 
 def test_backward_matches_oracle():
-    pd, binning, blocks = _forward_pieces()
-    it, tt, ct = rasterize_forward_xla(blocks, num_tiles=TCX * TCY, tile_count_x=TCX)
+    pd, binning, stream = _forward_pieces()
+    it, tt, ct = rasterize_forward_xla(stream, num_tiles=TCX * TCY, tile_count_x=TCX)
 
     rng = np.random.default_rng(11)
     gimg = rng.standard_normal((H, W, 3)).astype(np.float32)
     gt = tile_image(jnp.asarray(gimg), TCX, TCY)
     gdotc = jnp.sum(gt * it, axis=1)
-    eg = rasterize_backward_xla(blocks, gt, gdotc, ct, tile_count_x=TCX)
-    pp = jax.ops.segment_sum(eg.T, blocks.entry_point, num_segments=P + 1)[:P]
+    eg = rasterize_backward_xla(stream, gt, gdotc, ct, tile_count_x=TCX)
+    pp = jax.ops.segment_sum(eg.T, stream.entry_point, num_segments=P + 1)[:P]
 
     ocnt = np.asarray(untile_map(ct, TCX, TCY, W, H))
     otr = np.asarray(untile_map(tt, TCX, TCY, W, H))
@@ -149,10 +149,10 @@ def test_custom_vjp_matches_autodiff():
             tile_count_x=TCX, tile_count_y=TCY, capacity=CAP,
         )
         pd_t = pack_point_data(proj, jax.nn.sigmoid(op[:, 0]))
-        blocks = build_tile_blocks(
+        stream = build_entry_stream(
             pd_t, binning.point_indices, binning.tile_ranges, block_size=B
         )
-        it, _, _ = rasterize_forward_xla(blocks, num_tiles=TCX * TCY, tile_count_x=TCX)
+        it, _, _ = rasterize_forward_xla(stream, num_tiles=TCX * TCY, tile_count_x=TCX)
         return jnp.sum(untile_image(it, TCX, TCY, W, H) * gimg)
 
     def custom_loss(csh, op, pos, rot, scal):
@@ -182,13 +182,19 @@ def test_pallas_interpret_matches_xla():
         rasterize_forward_pallas,
     )
 
-    pd, binning, blocks = _forward_pieces()
+    from gausplat_tpu.ops.rasterize import mask_empty_tiles
+
+    pd, binning, stream = _forward_pieces()
     it_x, tt_x, ct_x = rasterize_forward_xla(
-        blocks, num_tiles=TCX * TCY, tile_count_x=TCX
+        stream, num_tiles=TCX * TCY, tile_count_x=TCX
     )
     it_p, tt_p, ct_p = rasterize_forward_pallas(
-        blocks, num_tiles=TCX * TCY, tile_count_x=TCX, interpret=True
+        stream, num_tiles=TCX * TCY, tile_count_x=TCX, interpret=True
     )
+    # Pallas leaves tiles with no steps uninitialized by design; the
+    # pipeline (and this comparison) masks them via the tile ranges.
+    it_p, tt_p, ct_p = mask_empty_tiles(it_p, tt_p, ct_p, binning.tile_ranges)
+    it_x, tt_x, ct_x = mask_empty_tiles(it_x, tt_x, ct_x, binning.tile_ranges)
     np.testing.assert_allclose(np.asarray(it_p), np.asarray(it_x), atol=1e-6)
     np.testing.assert_allclose(np.asarray(tt_p), np.asarray(tt_x), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(ct_p), np.asarray(ct_x))
@@ -197,8 +203,114 @@ def test_pallas_interpret_matches_xla():
     gimg = rng.standard_normal((H, W, 3)).astype(np.float32)
     gt = tile_image(jnp.asarray(gimg), TCX, TCY)
     gdotc = jnp.sum(gt * it_x, axis=1)
-    eg_x = rasterize_backward_xla(blocks, gt, gdotc, ct_x, tile_count_x=TCX)
+    eg_x = rasterize_backward_xla(stream, gt, gdotc, ct_x, tile_count_x=TCX)
     eg_p = rasterize_backward_pallas(
-        blocks, gt, gdotc, ct_x, tile_count_x=TCX, interpret=True
+        stream, gt, gdotc, ct_x, tile_count_x=TCX, interpret=True
     )
-    np.testing.assert_allclose(np.asarray(eg_p), np.asarray(eg_x), atol=1e-5)
+    # Positions beyond the segments (padding) are undefined in the Pallas
+    # output by design; mask as the pipeline does.
+    valid = np.arange(CAP) < int(binning.total)
+    np.testing.assert_allclose(
+        np.asarray(eg_p)[:, valid], np.asarray(eg_x)[:, valid], atol=1e-5
+    )
+
+
+def test_packed_bf16_entries_close_to_f32():
+    """The packed bf16-pair entry layout (RenderOptions(entry_dtype='bf16'))
+    must match the f32 path to bf16 tolerance, forward and backward."""
+    csh, positions, rotations, scalings, op_inner = _scene_arrays(5)
+    cam = Camera.from_view(_view())
+    rng = np.random.default_rng(23)
+    gimg = jnp.asarray(rng.standard_normal((H, W, 3)).astype(np.float32))
+
+    fn32 = pipeline_mod._make_render_fn(W, H, P, 3, CAP, B, "xla", False, False)
+    fn16 = pipeline_mod._make_render_fn(W, H, P, 3, CAP, B, "xla", False, True)
+
+    args = (
+        jnp.asarray(csh), jnp.asarray(op_inner), jnp.asarray(positions),
+        jnp.asarray(rotations), jnp.asarray(scalings),
+        jnp.zeros((P,)), cam,
+    )
+    out32 = fn32(*args)
+    out16 = fn16(*args)
+    img32 = np.asarray(out32.colors_rgb_2d)
+    img16 = np.asarray(out16.colors_rgb_2d)
+    # bf16 mantissa is 8 bits: ~0.4% relative per entry.
+    assert np.abs(img16 - img32).max() < 0.02
+    assert np.abs(img16 - img32).mean() < 2e-3
+
+    def loss(f, a):
+        return jnp.sum(f(*a[:5], a[5], a[6]).colors_rgb_2d * gimg)
+
+    g32 = jax.grad(lambda *p: loss(fn32, p + (args[5], args[6])), argnums=(0, 1, 2, 3, 4))(*args[:5])
+    g16 = jax.grad(lambda *p: loss(fn16, p + (args[5], args[6])), argnums=(0, 1, 2, 3, 4))(*args[:5])
+    for name, a, b in zip(
+        ("colors_sh", "opacities", "positions", "rotations", "scalings"),
+        g32, g16,
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(
+            b / scale, a / scale, atol=2e-2, err_msg=name
+        )
+
+
+def test_pack_pair_roundtrip():
+    from gausplat_tpu.ops.blend import pack_pair, unpack_hi, unpack_lo
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.standard_normal(1024).astype(np.float32) * 100)
+    b = jnp.asarray(rng.standard_normal(1024).astype(np.float32) * 0.01)
+    w = pack_pair(a, b)
+    ra, rb = np.asarray(unpack_hi(w)), np.asarray(unpack_lo(w))
+    # bf16 keeps 7 mantissa bits; nearest-rounding max relative error 2**-8.
+    np.testing.assert_allclose(ra, np.asarray(a), rtol=2.0**-8)
+    np.testing.assert_allclose(rb, np.asarray(b), rtol=2.0**-8)
+    # Zero is exact; packing is monotone in each half.
+    assert np.asarray(unpack_hi(pack_pair(jnp.zeros(4), b[:4]))).max() == 0.0
+
+
+def test_entry_stream_step_metadata_randomized():
+    """Randomized invariants of the (tile, window) step decomposition:
+    every tile's segment entries are covered exactly once, in order; each
+    nonempty tile is initialized exactly once before any blending; output
+    revisits are consecutive (the VMEM-residency requirement)."""
+    rng = np.random.default_rng(0)
+    for trial in range(60):
+        t_count = int(rng.integers(1, 9))
+        b = int(rng.choice([4, 8]))
+        cap = b * int(rng.integers(1, 9))
+        n = int(rng.integers(0, cap + 1))
+        cuts = (
+            np.sort(rng.integers(0, n + 1, t_count - 1))
+            if t_count > 1 else np.array([], int)
+        )
+        bounds = np.concatenate([[0], cuts, [n]])
+        ranges = np.stack([bounds[:-1], bounds[1:]], -1).astype(np.int32)
+        s = build_entry_stream(
+            jnp.zeros((9, 3)), jnp.zeros((cap,), jnp.int32),
+            jnp.asarray(ranges), block_size=b,
+        )
+        tile, sblk, r0, r1, first = (
+            np.asarray(x) for x in
+            (s.step_tile, s.step_block, s.step_r0, s.step_r1, s.step_first)
+        )
+        covered = {t: [] for t in range(t_count)}
+        inits = set()
+        last_of = {}
+        for i in range(len(tile)):
+            lo = max(r0[i] - sblk[i] * b, 0)
+            hi = min(r1[i] - sblk[i] * b, b)
+            if first[i]:
+                assert tile[i] not in inits
+                inits.add(tile[i])
+            if hi > lo:
+                assert tile[i] in inits
+                covered[tile[i]].extend(range(sblk[i] * b + lo, sblk[i] * b + hi))
+            if tile[i] in last_of:
+                assert last_of[tile[i]] == i - 1, "non-consecutive revisit"
+            last_of[tile[i]] = i
+        for t in range(t_count):
+            assert covered[t] == list(range(ranges[t, 0], ranges[t, 1]))
+            if ranges[t, 1] > ranges[t, 0]:
+                assert t in inits

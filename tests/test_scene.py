@@ -321,3 +321,52 @@ def test_negative_point_count_raises():
     bad = blob.replace(b"element vertex 2", b"element vertex -2", 1)
     with pytest.raises(MismatchedPolygonHeaderError):
         decode_polygon(bad)
+
+
+# --- reference RNG stream (import.rs:217-237) -----------------------------------
+
+
+def test_reference_rng_stream_golden():
+    """Pin the reimplemented Rust StdRng(0x3D65) LogNormal(0, e) stream.
+
+    The ChaCha12 core is validated against the published zero-key test
+    vector; these goldens lock the composed stream (seed_from_u64 ->
+    ChaCha12 -> ziggurat f64 normal -> f32 LogNormal) against regression.
+    """
+    from gausplat_tpu.utils.rand_compat import (
+        ChaCha12U64Stream,
+        reference_lognormal_e_f32,
+        seed_from_u64,
+    )
+
+    # ChaCha12, all-zero seed: first keystream bytes are the published
+    # test vector 9BF49A6A 0755F953 811FCE12 5F2683D5 ...
+    s = ChaCha12U64Stream(bytes(32))
+    first = [int(x) for x in s.take(2)]
+    assert first == [0x53F955076A9AF49B, 0xD583265F12CE1F81]
+
+    v = reference_lognormal_e_f32(8)
+    np.testing.assert_array_equal(
+        v,
+        np.array(
+            [
+                1.03561187, 2.83414578, 1.71022177, 4.31253433,
+                41.1576691, 0.889902353, 0.431984365, 48.3707466,
+            ],
+            np.float32,
+        ),
+    )
+
+
+def test_from_points_seed_compat():
+    pts = Points.default(64)
+    a = GaussianScene.from_points(pts)  # reference stream (default)
+    b = GaussianScene.from_points(pts, seed_compat="reference")
+    c = GaussianScene.from_points(pts, seed_compat="numpy")
+    np.testing.assert_array_equal(np.asarray(a.scalings), np.asarray(b.scalings))
+    assert not np.array_equal(np.asarray(a.scalings), np.asarray(c.scalings))
+    # Everything but the scale stream is identical.
+    for name in ("colors_sh", "opacities", "positions", "rotations"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, name)), np.asarray(getattr(c, name))
+        )

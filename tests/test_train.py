@@ -114,3 +114,45 @@ def test_reset_opacity():
     reset = reset_opacity(scene, DensifyConfig(opacity_reset_value=0.01))
     outer = np.asarray(reset.get_opacities())
     assert outer.max() <= 0.0101
+
+
+def test_multiview_batched_step_matches_mean_loss():
+    """The vmap'd multi-view step: loss equals the mean of per-view
+    losses, and the update uses the mean-loss gradient."""
+    import jax
+    from gausplat_tpu.train.trainer import _make_train_step
+    from gausplat_tpu.train.densify import zero_densify_acc
+    from gausplat_tpu.train.losses import photometric_loss
+    from gausplat_tpu.parallel.render import stack_cameras
+    from gausplat_tpu.ops.projection import Camera
+
+    scene = _scene(20, seed=2)
+    views = [_view(), _view()]
+    tgt_scene = _scene(20, seed=7)
+    targets = np.stack(
+        [np.asarray(render(tgt_scene, v, OPTS).colors_rgb_2d) for v in views]
+    )
+    step, optimizer, step_batch = _make_train_step(
+        W, H, scene.point_count, 3,
+        OPTS.tile_entry_capacity, OPTS.block_size, "xla", False,
+        0.2, __import__("gausplat_tpu").train.OptimizerConfig(),
+    )
+    opt_state = optimizer.init(scene)
+    acc = zero_densify_acc(scene.point_count)
+    cams = stack_cameras(views)
+    new_scene, _, acc2, metrics = step_batch(
+        scene, opt_state, acc, cams, jnp.asarray(targets)
+    )
+    # Loss equals the mean of the per-view photometric losses.
+    per_view = [
+        float(photometric_loss(
+            render(scene, v, OPTS).colors_rgb_2d, jnp.asarray(t), 0.2
+        ))
+        for v, t in zip(views, targets)
+    ]
+    np.testing.assert_allclose(
+        float(metrics["loss"]), np.mean(per_view), rtol=1e-5
+    )
+    assert np.isfinite(np.asarray(new_scene.positions)).all()
+    # Two identical views -> visible_count counts both.
+    assert int(np.asarray(acc2["visible_count"]).max()) == 2
