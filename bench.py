@@ -76,8 +76,12 @@ def main():
 
     point_count = int(os.environ.get("BENCH_POINTS", 1_000_000))
     width, height = 1920, 1080
-    capacity = int(os.environ.get("BENCH_CAPACITY", 4_194_304))
-    block_size = int(os.environ.get("BENCH_BLOCK", 256))
+    # Capacity sized as the adaptive Trainer would (watermark / 0.85
+    # grow threshold: ~1.96M entries -> 2.25M budget, 83% steady-state
+    # usage); block 128 = the VPU lane width, the boundary-window
+    # sweet spot for this workload's ~240-entry mean tile segment.
+    capacity = int(os.environ.get("BENCH_CAPACITY", 2_359_296))
+    block_size = int(os.environ.get("BENCH_BLOCK", 128))
     entry_dtype = os.environ.get("BENCH_ENTRY_DTYPE", "bf16")
     scale_mult = float(os.environ.get("BENCH_SCALE", 1.0))
 
