@@ -36,29 +36,41 @@ def _scan_rows(x, op, identity):
 
 
 def _prefix(x, op, identity):
-    n = x.shape[0]
+    """Inclusive scan along the LAST axis (any leading batch axes —
+    batched rows share every log-step as one wider VPU op)."""
+    n = x.shape[-1]
+    lead = x.shape[:-1]
     if n <= _WIDTH:
-        return _scan_rows(x[None, :], op, identity)[0]
+        return _scan_rows(x, op, identity)
     rows = -(-n // _WIDTH)
     padded = jnp.concatenate(
-        [x, jnp.full((rows * _WIDTH - n,), identity, x.dtype)]
-    ).reshape(rows, _WIDTH)
+        [x, jnp.full(lead + (rows * _WIDTH - n,), identity, x.dtype)],
+        axis=-1,
+    ).reshape(lead + (rows, _WIDTH))
     scanned = _scan_rows(padded, op, identity)
-    row_totals = scanned[:, -1]
+    row_totals = scanned[..., -1]
     row_prefix_incl = _prefix(row_totals, op, identity)
     row_prefix_excl = jnp.concatenate(
-        [jnp.full((1,), identity, x.dtype), row_prefix_incl[:-1]]
+        [
+            jnp.full(lead + (1,), identity, x.dtype),
+            row_prefix_incl[..., :-1],
+        ],
+        axis=-1,
     )
-    return op(scanned, row_prefix_excl[:, None]).reshape(-1)[:n]
+    return op(scanned, row_prefix_excl[..., None]).reshape(
+        lead + (rows * _WIDTH,)
+    )[..., :n]
 
 
 def prefix_sum(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive 1-D cumulative sum (drop-in for ``jnp.cumsum``)."""
+    """Inclusive cumulative sum along the last axis (drop-in for
+    ``jnp.cumsum``; leading axes are batched)."""
     return _prefix(x, jnp.add, 0)
 
 
 def prefix_max(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive 1-D cumulative max (drop-in for ``jax.lax.cummax``)."""
+    """Inclusive cumulative max along the last axis (drop-in for
+    ``jax.lax.cummax``; leading axes are batched)."""
     if jnp.issubdtype(x.dtype, jnp.integer):
         identity = jnp.iinfo(x.dtype).min
     else:
