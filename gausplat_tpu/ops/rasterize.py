@@ -77,6 +77,51 @@ PIXELS_PER_TILE = TILE_SIZE_X * TILE_SIZE_Y  # 256
 #: Default entries per window (the reference stages 256 = one per thread).
 DEFAULT_BLOCK_SIZE = 256
 
+#: Blend sub-batch length inside a window. The in-batch prefix products /
+#: sums cost O(log2(batch)) vector ops per (entry, pixel) pair; chaining
+#: short sub-batches through the carried state trades that log factor for
+#: a few [1, 256] state updates per group. 0 = whole-window batches.
+import os as _os
+
+BLEND_GROUP = int(_os.environ.get("GAUSPLAT_BLEND_GROUP", "0"))
+
+
+def _blend_forward(state, entries, pix_x, pix_y, base_pos, mask):
+    b = entries.opacity.shape[0]
+    g = BLEND_GROUP
+    if not g or b % g or b <= g:
+        return forward_batch(state, entries, pix_x, pix_y, base_pos, mask)
+    for s in range(0, b, g):
+        sub = jax.tree_util.tree_map(lambda f: f[s : s + g], entries)
+        state = forward_batch(
+            state, sub, pix_x, pix_y, base_pos + s,
+            None if mask is None else mask[s : s + g],
+        )
+    return state
+
+
+def _blend_backward(
+    state, entries, pix_x, pix_y, base_pos, grad, gdotc, counts, mask
+):
+    b = entries.opacity.shape[0]
+    g = BLEND_GROUP
+    if not g or b % g or b <= g:
+        return backward_batch(
+            state, entries, pix_x, pix_y, base_pos, grad, gdotc, counts, mask
+        )
+    parts = []
+    for s in range(0, b, g):
+        sub = jax.tree_util.tree_map(lambda f: f[s : s + g], entries)
+        state, grads = backward_batch(
+            state, sub, pix_x, pix_y, base_pos + s, grad, gdotc, counts,
+            None if mask is None else mask[s : s + g],
+        )
+        parts.append(grads)
+    grads = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *parts
+    )
+    return state, grads
+
 
 def entry_rows(packed: bool) -> int:
     return ENTRY_ROWS_PACKED if packed else ENTRY_ROWS_F32
@@ -261,7 +306,7 @@ def _forward_kernel(
             done=done_ref[...] > 0,
             rendered_count=count_ref[...],
         )
-        new = forward_batch(state, entries, pix_x, pix_y, base_pos, mask)
+        new = _blend_forward(state, entries, pix_x, pix_y, base_pos, mask)
         image_ref[...] = new.color
         trans_ref[...] = new.transmittance
         count_ref[...] = new.rendered_count
@@ -395,7 +440,7 @@ def _backward_kernel(
         state = BackwardState(
             transmittance=trans_ref[...], grad_prefix=prefix_ref[...]
         )
-        new_state, grads = backward_batch(
+        new_state, grads = _blend_backward(
             state,
             entries,
             pix_x,

@@ -74,10 +74,11 @@ def _make_train_step(
     interpret: bool,
     ssim_weight: float,
     optimizer_config: OptimizerConfig,
+    packed: bool = False,
 ):
     render_fn = _build_render_fn(
         image_width, image_height, point_count, sh_degree, capacity,
-        block_size, backend, interpret,
+        block_size, backend, interpret, packed,
     )
     optimizer = make_optimizer(optimizer_config)
 
@@ -91,28 +92,9 @@ def _make_train_step(
 
     @jax.jit
     def step(scene, opt_state, densify_acc, camera, target):
-        ref = jnp.zeros((point_count,), jnp.float32)
-        (loss, out), (grads, grad_norm) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(scene, ref, camera, target)
-        updates, opt_state = optimizer.update(grads, opt_state, scene)
-        scene = jax.tree_util.tree_map(lambda p, u: p + u, scene, updates)
         # Densification statistics accumulate on-device (no per-step host
         # sync); the controller fetches them only at densify events.
-        visible = out.radii > 0
-        densify_acc = {
-            "grad_norm_sum": densify_acc["grad_norm_sum"]
-            + jnp.where(visible, grad_norm, 0.0),
-            "visible_count": densify_acc["visible_count"]
-            + visible.astype(jnp.int32),
-            "max_radii": jnp.maximum(densify_acc["max_radii"], out.radii),
-        }
-        metrics = {
-            "loss": loss,
-            "psnr": psnr(out.colors_rgb_2d, target),
-            "tile_point_total": out.tile_point_total,
-        }
-        return scene, opt_state, densify_acc, metrics
+        return _one_step(scene, opt_state, densify_acc, camera, target)
 
     @jax.jit
     def step_batch(scene, opt_state, densify_acc, cameras, targets):
@@ -155,7 +137,60 @@ def _make_train_step(
         }
         return scene, opt_state, densify_acc, metrics
 
-    return step, optimizer, step_batch
+    @functools.lru_cache(maxsize=64)
+    def make_step_scan(num_steps: int):
+        """Compile ``num_steps`` round-robin single-view steps into ONE
+        dispatch (``lax.scan``) — the host-dispatch (tunnel RPC) cost is
+        paid once per chunk instead of once per step. The view index walks
+        ``(start + j) % V`` so chunked fits replay exactly the same view
+        sequence as ``num_steps`` calls to ``step``."""
+
+        @jax.jit
+        def step_scan(scene, opt_state, densify_acc, cameras, targets, start):
+            n_views = targets.shape[0]
+
+            def body(carry, j):
+                scene, opt_state, densify_acc = carry
+                idx = jax.lax.rem(start + j, jnp.int32(n_views))
+                camera = jax.tree_util.tree_map(lambda x: x[idx], cameras)
+                target = targets[idx]
+                scene, opt_state, densify_acc, metrics = _one_step(
+                    scene, opt_state, densify_acc, camera, target
+                )
+                return (scene, opt_state, densify_acc), metrics
+
+            (scene, opt_state, densify_acc), metrics = jax.lax.scan(
+                body,
+                (scene, opt_state, densify_acc),
+                jnp.arange(num_steps, dtype=jnp.int32),
+            )
+            return scene, opt_state, densify_acc, metrics
+
+        return step_scan
+
+    def _one_step(scene, opt_state, densify_acc, camera, target):
+        ref = jnp.zeros((point_count,), jnp.float32)
+        (loss, out), (grads, grad_norm) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(scene, ref, camera, target)
+        updates, opt_state = optimizer.update(grads, opt_state, scene)
+        scene = jax.tree_util.tree_map(lambda p, u: p + u, scene, updates)
+        visible = out.radii > 0
+        densify_acc = {
+            "grad_norm_sum": densify_acc["grad_norm_sum"]
+            + jnp.where(visible, grad_norm, 0.0),
+            "visible_count": densify_acc["visible_count"]
+            + visible.astype(jnp.int32),
+            "max_radii": jnp.maximum(densify_acc["max_radii"], out.radii),
+        }
+        metrics = {
+            "loss": loss,
+            "psnr": psnr(out.colors_rgb_2d, target),
+            "tile_point_total": out.tile_point_total,
+        }
+        return scene, opt_state, densify_acc, metrics
+
+    return step, optimizer, step_batch, make_step_scan
 
 
 _zero_densify_acc = zero_densify_acc
@@ -211,6 +246,7 @@ class Trainer:
             r.interpret,
             self.config.ssim_weight,
             self.config.optimizer,
+            r.entry_dtype == "bf16",
         )
 
     # -- public API ------------------------------------------------------------
@@ -224,7 +260,7 @@ class Trainer:
         readback). Convert with ``float()``/``jax.device_get`` only when a
         value is actually needed on the host.
         """
-        step, optimizer, _ = self._get_step()
+        step, optimizer, _, _ = self._get_step()
         if self._opt_point_count != self.scene.point_count:
             self._opt_state = optimizer.init(self.scene)
             self._opt_point_count = self.scene.point_count
@@ -273,7 +309,7 @@ class Trainer:
         (vmap'd single-device multi-view step). Densify statistics match
         ``len(views)`` successive single-view steps; ``step_count``
         advances by the batch size so schedules stay comparable."""
-        _, optimizer, step_batch = self._get_step()
+        _, optimizer, step_batch, _ = self._get_step()
         if self._opt_point_count != self.scene.point_count:
             self._opt_state = optimizer.init(self.scene)
             self._opt_point_count = self.scene.point_count
@@ -303,3 +339,94 @@ class Trainer:
             {k: (float(v) if np.ndim(v) == 0 else v) for k, v in h.items()}
             for h in history
         ]
+
+    def _next_event(self, end: int) -> int:
+        """First step index > step_count at which host intervention is due
+        (SH-warmup recompile, overflow check, densify, opacity reset), or
+        ``end``. Scanned chunks must break exactly there so chunked fits
+        replay the per-step schedule."""
+        c = self.config
+        now = self.step_count
+
+        def nxt(interval: int) -> int:
+            interval = max(interval, 1)
+            return (now // interval + 1) * interval
+
+        cands = [end, nxt(c.sh_warmup_interval), nxt(c.overflow_check_interval)]
+        d = max(nxt(c.densify_interval), -(-c.densify_from // c.densify_interval) * c.densify_interval)
+        if d < c.densify_until:
+            cands.append(d)
+        r = nxt(c.opacity_reset_interval)
+        if c.densify_from <= r < c.densify_until:
+            cands.append(r)
+        return min(cands)
+
+    def _host_events(self, metrics_watermark) -> None:
+        """The same post-step host logic as :meth:`train_step`, applied at
+        the current ``step_count`` (chunk boundaries land exactly on the
+        event steps)."""
+        c = self.config
+        if self.step_count % c.overflow_check_interval == 0:
+            total = int(metrics_watermark)
+            if total > c.capacity_grow_at * self._entry_capacity:
+                b = c.render.block_size
+                new_cap = int(total * c.capacity_grow_factor)
+                self._entry_capacity = max(
+                    (new_cap + b - 1) // b * b, self._entry_capacity
+                )
+        if c.densify_from <= self.step_count < c.densify_until:
+            if self.step_count % c.densify_interval == 0:
+                state = DensifyState(
+                    grad_norm_sum=np.asarray(self._densify_acc["grad_norm_sum"]),
+                    visible_count=np.asarray(self._densify_acc["visible_count"]),
+                    max_radii=np.asarray(self._densify_acc["max_radii"]),
+                )
+                self.scene, _, _ = densify_and_prune(self.scene, state, c.densify)
+                self._densify_acc = _zero_densify_acc(self.scene.point_count)
+            if self.step_count % c.opacity_reset_interval == 0:
+                self.scene = reset_opacity(self.scene, c.densify)
+
+    def fit_scan(
+        self,
+        views,
+        targets,
+        iterations: Optional[int] = None,
+        max_chunk: int = 200,
+    ) -> list:
+        """Like :meth:`fit`, but runs steps in compiled ``lax.scan`` chunks
+        — one device dispatch per chunk instead of per step (the tunnel RPC
+        latency otherwise dominates small-scene training). Chunks break at
+        every host-intervention step, so the result follows the identical
+        schedule as per-step :meth:`fit`."""
+        from ..parallel.render import stack_cameras
+
+        iterations = iterations or self.config.iterations
+        end = self.step_count + iterations
+        cameras = stack_cameras(views)
+        targets_d = jnp.asarray(np.stack([np.asarray(t) for t in targets]))
+        n = len(views)
+        history = []
+        while self.step_count < end:
+            _, optimizer, _, make_step_scan = self._get_step()
+            if self._opt_point_count != self.scene.point_count:
+                self._opt_state = optimizer.init(self.scene)
+                self._opt_point_count = self.scene.point_count
+                self._densify_acc = _zero_densify_acc(self.scene.point_count)
+            k = min(self._next_event(end) - self.step_count, max_chunk)
+            step_scan = make_step_scan(k)
+            (
+                self.scene, self._opt_state, self._densify_acc, metrics
+            ) = step_scan(
+                self.scene, self._opt_state, self._densify_acc,
+                cameras, targets_d, jnp.int32(self.step_count % n),
+            )
+            self.step_count += k
+            history.append(metrics)
+            self._host_events(jnp.max(metrics["tile_point_total"]))
+        history = jax.device_get(history)
+        out = []
+        for chunk in history:
+            ks = list(chunk.keys())
+            for i in range(len(chunk[ks[0]])):
+                out.append({k: float(chunk[k][i]) for k in ks})
+        return out

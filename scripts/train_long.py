@@ -68,11 +68,11 @@ tr = Trainer(start, size, size, cfg)
 
 curve = []
 chunk = 200
-n = len(views)
 step = 0
 while step < iters:
     k = min(chunk, iters - step)
-    hist = tr.fit(views, targets, k)  # continues round-robin from step_count
+    # Scanned fit: one device dispatch per sub-chunk (tunnel-RPC-proof).
+    hist = tr.fit_scan(views, targets, k)
     step += k
     h = hist[-1]
     rec = {

@@ -156,3 +156,37 @@ def test_multiview_batched_step_matches_mean_loss():
     assert np.isfinite(np.asarray(new_scene.positions)).all()
     # Two identical views -> visible_count counts both.
     assert int(np.asarray(acc2["visible_count"]).max()) == 2
+
+
+def test_fit_scan_matches_fit():
+    """Chunked lax.scan fit must follow the identical schedule and produce
+    the same training trajectory as the per-step fit (same view order,
+    densify/reset/warmup boundaries respected)."""
+    target_scene = _scene(25, seed=5)
+    views = [_view(), _view()]
+    targets = [render(target_scene, v, OPTS).colors_rgb_2d for v in views]
+    cfg = TrainConfig(
+        render=OPTS,
+        densify_from=4,
+        densify_until=11,
+        densify_interval=5,
+        sh_warmup_interval=6,
+        opacity_reset_interval=10**9,
+        overflow_check_interval=7,
+    )
+    tr_a = Trainer(_scene(25, seed=9), W, H, cfg)
+    tr_b = Trainer(_scene(25, seed=9), W, H, cfg)
+    hist_a = tr_a.fit(views, targets, 13)
+    hist_b = tr_b.fit_scan(views, targets, 13, max_chunk=4)
+    assert tr_a.step_count == tr_b.step_count == 13
+    assert tr_a.scene.point_count == tr_b.scene.point_count
+    # Scanned vs per-step programs fuse differently; fp reassociation
+    # compounds over the 13 Adam steps — structural parity, not bitwise.
+    np.testing.assert_allclose(
+        np.asarray(tr_a.scene.positions),
+        np.asarray(tr_b.scene.positions),
+        atol=5e-4,
+    )
+    la = [h["loss"] for h in hist_a]
+    lb = [h["loss"] for h in hist_b]
+    np.testing.assert_allclose(la, lb, rtol=1e-4, atol=1e-6)
