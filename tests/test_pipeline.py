@@ -140,3 +140,4 @@ def test_sh_degree_option():
         imgs.append(np.asarray(render(scene, view, opts).colors_rgb_2d))
     # Higher degrees change the image (view-dependent color).
     assert not np.allclose(imgs[0], imgs[3])
+

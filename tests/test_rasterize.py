@@ -314,3 +314,52 @@ def test_entry_stream_step_metadata_randomized():
             assert covered[t] == list(range(ranges[t, 0], ranges[t, 1]))
             if ranges[t, 1] > ranges[t, 0]:
                 assert t in inits
+
+def test_gradients_match_finite_differences():
+    """Central-difference spot check of the custom VJP (SURVEY section 4:
+    the reference has no numerical-gradient tests; JAX makes them cheap).
+    A handful of coordinates across all 5 parameter groups."""
+    csh, positions, rotations, scalings, op_inner = _scene_arrays(21)
+    cam = Camera.from_view(_view())
+    rng = np.random.default_rng(3)
+    gimg = jnp.asarray(rng.standard_normal((H, W, 3)).astype(np.float32))
+    fn = pipeline_mod._make_render_fn(W, H, P, 3, CAP, B, "xla", False)
+
+    args = [
+        jnp.asarray(csh), jnp.asarray(op_inner), jnp.asarray(positions),
+        jnp.asarray(rotations), jnp.asarray(scalings),
+    ]
+
+    def loss(*a):
+        out = fn(*a, jnp.zeros((P,)), cam)
+        return jnp.sum(out.colors_rgb_2d * gimg)
+
+    loss_j = jax.jit(loss)
+    grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))(*args)
+
+    eps = 1e-3
+    checked = 0
+    for ai, name in ((0, "colors_sh"), (1, "opacities"), (2, "positions"),
+                     (3, "rotations"), (4, "scalings")):
+        g = np.asarray(grads[ai])
+        flat = g.ravel()
+        # Pick the largest-|grad| coordinates: the finite difference is
+        # well-conditioned there (tiny-gradient coords drown in fp noise).
+        for idx in np.argsort(-np.abs(flat))[:2]:
+            pert = np.zeros_like(flat)
+            pert[idx] = eps
+            pert = pert.reshape(g.shape)
+            hi = args.copy()
+            lo = args.copy()
+            hi[ai] = args[ai] + pert
+            lo[ai] = args[ai] - pert
+            fd = (float(loss_j(*hi)) - float(loss_j(*lo))) / (2 * eps)
+            an = float(flat[idx])
+            scale = max(abs(an), abs(fd), 1e-3)
+            # Geometric parameters cross discrete structure (tile
+            # assignment, alpha floors) within +-eps: the loss is only
+            # piecewise-smooth in them, so the check is coarser there.
+            tol = 5e-2 if ai in (0, 1) else 2e-1
+            assert abs(fd - an) / scale < tol, (name, idx, fd, an)
+            checked += 1
+    assert checked == 10
