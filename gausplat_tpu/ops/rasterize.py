@@ -128,15 +128,30 @@ def entry_rows(packed: bool) -> int:
 
 
 class EntryStream(NamedTuple):
-    """The sorted entry array + per-step (tile, window) metadata."""
+    """The sorted entry array + (tile, window) step metadata.
+
+    The Pallas kernels prefetch the hybrid compact form: per-step
+    ``step_tile`` and ``step_block`` (direct lookups keep the BlockSpec
+    index maps trivial — deriving the block id arithmetically in the index
+    maps measured ~1 us/step slower) plus the per-TILE ``tile_r0 / tile_r1
+    / tile_cum0`` and the 2-scalar ``meta``, from which the kernel derives
+    each step's window. SMEM is ``2 S + 3 T + 2`` words vs ``5 S`` for the
+    naive five-per-step-array form, which exceeds the 1 MB SMEM budget
+    near 8M-entry capacities. The XLA fallback scans the expanded per-step
+    arrays.
+    """
 
     entry_data: jax.Array  # [R, cap] per-entry point data in sorted order
     entry_point: jax.Array  # [cap] int32 source point (P = padding)
-    step_tile: jax.Array  # [S] tile of each step
+    step_tile: jax.Array  # [S] tile of each step (pads repeat the last real)
     step_block: jax.Array  # [S] block index into entry_data columns
     step_r0: jax.Array  # [S] tile segment start (0 on pad steps)
     step_r1: jax.Array  # [S] tile segment end (0 on pad steps)
     step_first: jax.Array  # [S] 1 iff the step is its tile's first
+    tile_r0: jax.Array  # [T] segment starts
+    tile_r1: jax.Array  # [T] segment ends
+    tile_cum0: jax.Array  # [T] index of the tile's first step
+    meta: jax.Array  # [2] (real step count, last real step's block id)
     block_size: int
     packed: bool
 
@@ -237,6 +252,10 @@ def build_entry_stream(
         step_r0=step_r0,
         step_r1=step_r1,
         step_first=step_first,
+        tile_r0=r0,
+        tile_r1=r1,
+        tile_cum0=(cum - steps_per_tile).astype(jnp.int32),
+        meta=jnp.stack([total_steps.astype(jnp.int32), lrb.astype(jnp.int32)]),
         block_size=b,
         packed=packed,
     )
@@ -264,14 +283,22 @@ def _window(sblk, r0, r1, block_size):
 
 
 # --- Pallas forward -----------------------------------------------------------
+#
+# Scalar prefetch is the compact form (see EntryStream): per-step tile id
+# plus per-tile r0/r1/first-step-index and the (step count, last block)
+# meta pair; each step's entry-block id and lane window are derived
+# arithmetically both here and in the BlockSpec index maps. Pad steps
+# (i >= meta[0]) revisit the last real step's block with all compute
+# skipped, keeping the output revisit chains consecutive.
 
 
 def _forward_kernel(
     tile_ref,  # scalar prefetch: [S] step -> tile
-    sblk_ref,  # scalar prefetch: [S] step -> entry block
-    r0_ref,  # scalar prefetch: [S] step -> segment start
-    r1_ref,  # scalar prefetch: [S] step -> segment end
-    first_ref,  # scalar prefetch: [S] step -> is tile's first step
+    sblk_ref,  # scalar prefetch: [S] step -> entry block (pads clamped)
+    r0t_ref,  # scalar prefetch: [T] tile -> segment start
+    r1t_ref,  # scalar prefetch: [T] tile -> segment end
+    cum0_ref,  # scalar prefetch: [T] tile -> its first step index
+    meta_ref,  # scalar prefetch: [2] (real step count, last real block)
     entry_ref,  # [R, B] VMEM
     image_ref,  # [3, 256] VMEM out (revisited per tile)
     trans_ref,  # [1, 256] VMEM out
@@ -283,8 +310,10 @@ def _forward_kernel(
     packed: bool,
 ):
     i = pl.program_id(0)
+    t = tile_ref[i]
+    real = i < meta_ref[0]
 
-    @pl.when(first_ref[i] == 1)
+    @pl.when(real & (i == cum0_ref[t]))
     def _():
         image_ref[...] = jnp.zeros_like(image_ref)
         trans_ref[...] = jnp.ones_like(trans_ref)
@@ -292,9 +321,9 @@ def _forward_kernel(
         done_ref[...] = jnp.zeros_like(done_ref)
 
     mask, base_pos, lo, hi = _window(
-        sblk_ref[i], r0_ref[i], r1_ref[i], block_size
+        sblk_ref[i], r0t_ref[t], r1t_ref[t], block_size
     )
-    skip = jnp.all(done_ref[...] > 0) | (hi <= lo)
+    skip = jnp.logical_not(real) | jnp.all(done_ref[...] > 0) | (hi <= lo)
 
     @pl.when(jnp.logical_not(skip))
     def _():
@@ -327,36 +356,30 @@ def rasterize_forward_pallas(
     s = stream.step_tile.shape[0]
     rows = stream.entry_data.shape[0]
 
+    def entry_index(i, tile, sblk, r0t, r1t, cum0, meta):
+        return (0, sblk[i])
+
+    def tile_index(i, tile, sblk, r0t, r1t, cum0, meta):
+        return (tile[i], 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(s,),
-        in_specs=[
-            pl.BlockSpec(
-                (rows, b), lambda i, tile, sblk, r0, r1, first: (0, sblk[i])
-            ),
-        ],
+        in_specs=[pl.BlockSpec((rows, b), entry_index)],
         out_specs=[
-            pl.BlockSpec(
-                (1, 3, PIXELS_PER_TILE),
-                lambda i, tile, sblk, r0, r1, first: (tile[i], 0, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, PIXELS_PER_TILE),
-                lambda i, tile, sblk, r0, r1, first: (tile[i], 0, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, PIXELS_PER_TILE),
-                lambda i, tile, sblk, r0, r1, first: (tile[i], 0, 0),
-            ),
+            pl.BlockSpec((1, 3, PIXELS_PER_TILE), tile_index),
+            pl.BlockSpec((1, 1, PIXELS_PER_TILE), tile_index),
+            pl.BlockSpec((1, 1, PIXELS_PER_TILE), tile_index),
         ],
         scratch_shapes=[pltpu.VMEM((1, PIXELS_PER_TILE), jnp.int32)],
     )
 
-    def kernel(tile, sblk, r0, r1, first, entry, image, trans, count, done):
+    def kernel(tile, sblk, r0t, r1t, cum0, meta, entry, image, trans,
+               count, done):
         # The tiled output blocks carry a leading singleton dim; present the
         # kernel math with [3, 256] / [1, 256] views.
         _forward_kernel(
-            tile, sblk, r0, r1, first,
+            tile, sblk, r0t, r1t, cum0, meta,
             entry,
             image.at[0],
             trans.at[0],
@@ -379,9 +402,10 @@ def rasterize_forward_pallas(
     )(
         stream.step_tile,
         stream.step_block,
-        stream.step_r0,
-        stream.step_r1,
-        stream.step_first,
+        stream.tile_r0,
+        stream.tile_r1,
+        stream.tile_cum0,
+        stream.meta,
         stream.entry_data,
     )
     return image_tiles, trans_tiles[:, 0, :], count_tiles[:, 0, :]
@@ -391,11 +415,12 @@ def rasterize_forward_pallas(
 
 
 def _backward_kernel(
-    tile_ref,
-    sblk_ref,
-    r0_ref,
-    r1_ref,
-    first_ref,
+    tile_ref,  # scalar prefetch: [S] step -> tile
+    sblk_ref,  # scalar prefetch: [S] step -> entry block (pads clamped)
+    r0t_ref,  # scalar prefetch: [T] tile -> segment start
+    r1t_ref,  # scalar prefetch: [T] tile -> segment end
+    cum0_ref,  # scalar prefetch: [T] tile -> its first step index
+    meta_ref,  # scalar prefetch: [2] (real step count, last real block)
     entry_ref,  # [R, B]
     grad_ref,  # [3, 256] upstream pixel-color grad for the tile
     gdotc_ref,  # [1, 256] <g, C_final> for the tile
@@ -409,8 +434,10 @@ def _backward_kernel(
     packed: bool,
 ):
     i = pl.program_id(0)
+    t = tile_ref[i]
+    real = i < meta_ref[0]
 
-    @pl.when(first_ref[i] == 1)
+    @pl.when(real & (i == cum0_ref[t]))
     def _():
         trans_ref[...] = jnp.ones_like(trans_ref)
         prefix_ref[...] = jnp.zeros_like(prefix_ref)
@@ -425,13 +452,17 @@ def _backward_kernel(
         out_ref[...] = jnp.zeros_like(out_ref)
 
     mask, base_pos, lo, hi = _window(
-        sblk_ref[i], r0_ref[i], r1_ref[i], block_size
+        sblk_ref[i], r0t_ref[t], r1t_ref[t], block_size
     )
     # Skip empty windows, and windows entirely beyond every pixel's forward
     # rendered count (nothing in them was blended — the reference's
     # per-pixel skip at rasterize_backward/kernel.wgsl:151-156, lifted to
     # window granularity). Their grads stay zero from the binit clear.
-    skip = (hi <= lo) | (base_pos + lo >= jnp.max(count_ref[...]))
+    skip = (
+        jnp.logical_not(real)
+        | (hi <= lo)
+        | (base_pos + lo >= jnp.max(count_ref[...]))
+    )
 
     @pl.when(jnp.logical_not(skip))
     def _():
@@ -478,39 +509,32 @@ def rasterize_backward_pallas(
     capacity = stream.entry_data.shape[1]
     out_dtype = jnp.int32 if stream.packed else jnp.float32
 
+    def entry_index(i, tile, sblk, r0t, r1t, cum0, meta):
+        return (0, sblk[i])
+
+    def tile_index(i, tile, sblk, r0t, r1t, cum0, meta):
+        return (tile[i], 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(s,),
         in_specs=[
-            pl.BlockSpec(
-                (rows, b), lambda i, tile, sblk, r0, r1, first: (0, sblk[i])
-            ),
-            pl.BlockSpec(
-                (1, 3, PIXELS_PER_TILE),
-                lambda i, tile, sblk, r0, r1, first: (tile[i], 0, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, PIXELS_PER_TILE),
-                lambda i, tile, sblk, r0, r1, first: (tile[i], 0, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, PIXELS_PER_TILE),
-                lambda i, tile, sblk, r0, r1, first: (tile[i], 0, 0),
-            ),
+            pl.BlockSpec((rows, b), entry_index),
+            pl.BlockSpec((1, 3, PIXELS_PER_TILE), tile_index),
+            pl.BlockSpec((1, 1, PIXELS_PER_TILE), tile_index),
+            pl.BlockSpec((1, 1, PIXELS_PER_TILE), tile_index),
         ],
-        out_specs=pl.BlockSpec(
-            (rows, b), lambda i, tile, sblk, r0, r1, first: (0, sblk[i])
-        ),
+        out_specs=pl.BlockSpec((rows, b), entry_index),
         scratch_shapes=[
             pltpu.VMEM((1, PIXELS_PER_TILE), jnp.float32),
             pltpu.VMEM((1, PIXELS_PER_TILE), jnp.float32),
         ],
     )
 
-    def kernel(tile, sblk, r0, r1, first, entry, grad, gdotc, count, out,
-               trans, prefix):
+    def kernel(tile, sblk, r0t, r1t, cum0, meta, entry, grad, gdotc,
+               count, out, trans, prefix):
         _backward_kernel(
-            tile, sblk, r0, r1, first,
+            tile, sblk, r0t, r1t, cum0, meta,
             entry,
             grad.at[0],
             gdotc.at[0],
@@ -531,9 +555,10 @@ def rasterize_backward_pallas(
     )(
         stream.step_tile,
         stream.step_block,
-        stream.step_r0,
-        stream.step_r1,
-        stream.step_first,
+        stream.tile_r0,
+        stream.tile_r1,
+        stream.tile_cum0,
+        stream.meta,
         stream.entry_data,
         grad_tiles,
         gdotc_tiles[:, None, :],
