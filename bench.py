@@ -75,7 +75,8 @@ def main():
     )
 
     point_count = int(os.environ.get("BENCH_POINTS", 1_000_000))
-    width, height = 1920, 1080
+    width = int(os.environ.get("BENCH_WIDTH", 1920))
+    height = int(os.environ.get("BENCH_HEIGHT", 1080))
     # Capacity sized as the adaptive Trainer would (watermark / 0.85
     # grow threshold: ~1.96M entries -> 2.25M budget, 83% steady-state
     # usage); block 128 = the VPU lane width, the boundary-window
