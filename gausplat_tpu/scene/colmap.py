@@ -91,9 +91,13 @@ def _quat_wxyz_to_rotation(qw, qx, qy, qz) -> np.ndarray:
 
 
 def read_images_bin(
-    fh: BinaryIO, cameras: Dict[int, ColmapCamera]
+    fh: BinaryIO,
+    cameras: Dict[int, ColmapCamera],
+    image_names: Dict[int, str] | None = None,
 ) -> Views:
-    """Parse images.bin into Views (keyed by image id)."""
+    """Parse images.bin into Views (keyed by image id). If ``image_names``
+    is given, it is filled with image id -> registered file name (needed to
+    pair views with their captured images when training)."""
     (count,) = _read(fh, "<Q")
     views: Views = {}
     for _ in range(count):
@@ -108,6 +112,8 @@ def read_images_bin(
             name += c
         (num_points,) = _read(fh, "<Q")
         fh.seek(num_points * 24, os.SEEK_CUR)  # skip (x f64, y f64, id i64)
+        if image_names is not None:
+            image_names[image_id] = name.decode("utf-8", "replace")
 
         cam = cameras[camera_id]
         fx, fy = cam.focal_lengths()
@@ -140,12 +146,14 @@ def read_points3d_bin(fh: BinaryIO) -> Points:
     return Points.from_colmap(colors, positions)
 
 
-def load_sparse_model(model_dir: str) -> tuple[Points, Views]:
+def load_sparse_model(
+    model_dir: str, image_names: Dict[int, str] | None = None
+) -> tuple[Points, Views]:
     """Load a COLMAP sparse model directory (cameras/images/points3D.bin)."""
     with open(os.path.join(model_dir, "cameras.bin"), "rb") as fh:
         cameras = read_cameras_bin(fh)
     with open(os.path.join(model_dir, "images.bin"), "rb") as fh:
-        views = read_images_bin(fh, cameras)
+        views = read_images_bin(fh, cameras, image_names)
     with open(os.path.join(model_dir, "points3D.bin"), "rb") as fh:
         points = read_points3d_bin(fh)
     return points, views

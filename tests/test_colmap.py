@@ -54,8 +54,10 @@ def test_cameras_images_points_roundtrip():
     assert cameras[1].focal_lengths() == (1000.0, 990.0)
     assert cameras[2].focal_lengths() == (500.0, 500.0)
 
-    views = read_images_bin(io.BytesIO(_images_blob()), cameras)
+    names = {}
+    views = read_images_bin(io.BytesIO(_images_blob()), cameras, names)
     view = views[7]
+    assert names == {7: "frame_0001.png"}
     assert view.image_width == 1920 and view.image_height == 1080
     assert abs(view.field_of_view_x - 2 * math.atan(1920 / 2000)) < 1e-12
     # Identity rotation: p_view = p + t.
