@@ -96,6 +96,8 @@ cfg = TrainConfig(
 tr1 = Trainer(fresh(), size, size, cfg)
 for i in range(iters):
     tr1.train_step_batch(views, targets)
+    if (i + 1) % 50 == 0:
+        print(f"single {i + 1}/{iters}", flush=True)
 p1 = eval_psnr(tr1.scene)
 print(json.dumps({"single_batched_psnr": p1, "points": tr1.scene.point_count}), flush=True)
 
@@ -108,6 +110,8 @@ from gausplat_tpu.parallel.render import stack_cameras
 cams = stack_cameras(views)
 for i in range(iters):
     tr2.train_step(cams, padded)
+    if (i + 1) % 50 == 0:
+        print(f"sharded {i + 1}/{iters}", flush=True)
 p2 = eval_psnr(tr2.scene)
 print(json.dumps({"sharded_psnr": p2, "points": tr2.scene.point_count}), flush=True)
 print(json.dumps({"delta_db": abs(p1 - p2)}), flush=True)
