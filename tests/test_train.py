@@ -132,7 +132,7 @@ def test_multiview_batched_step_matches_mean_loss():
     targets = np.stack(
         [np.asarray(render(tgt_scene, v, OPTS).colors_rgb_2d) for v in views]
     )
-    step, optimizer, step_batch = _make_train_step(
+    step, optimizer, step_batch, _ = _make_train_step(
         W, H, scene.point_count, 3,
         OPTS.tile_entry_capacity, OPTS.block_size, "xla", False,
         0.2, __import__("gausplat_tpu").train.OptimizerConfig(),
