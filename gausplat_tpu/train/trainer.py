@@ -273,36 +273,8 @@ class Trainer:
         )
         self.step_count += 1
 
-        c = self.config
-        # Overflow watch at a fixed cadence (no per-step host sync): grow
-        # the static entry buffer when usage approaches capacity.
-        if self.step_count % c.overflow_check_interval == 0:
-            total = int(metrics["tile_point_total"])
-            if total > c.capacity_grow_at * self._entry_capacity:
-                b = c.render.block_size
-                new_cap = int(total * c.capacity_grow_factor)
-                self._entry_capacity = max(
-                    (new_cap + b - 1) // b * b, self._entry_capacity
-                )
-        in_densify_phase = (
-            c.densify_from <= self.step_count < c.densify_until
-        )
-        if in_densify_phase:
-            if self.step_count % c.densify_interval == 0:
-                state = DensifyState(
-                    grad_norm_sum=np.asarray(self._densify_acc["grad_norm_sum"]),
-                    visible_count=np.asarray(self._densify_acc["visible_count"]),
-                    max_radii=np.asarray(self._densify_acc["max_radii"]),
-                )
-                self.scene, _, stats = densify_and_prune(
-                    self.scene, state, c.densify
-                )
-                self._densify_acc = _zero_densify_acc(self.scene.point_count)
-                metrics = {**metrics, **stats}
-            if self.step_count % c.opacity_reset_interval == 0:
-                self.scene = reset_opacity(self.scene, c.densify)
-
-        return metrics
+        stats = self._host_events(metrics["tile_point_total"])
+        return {**metrics, **stats} if stats else metrics
 
     def train_step_batch(self, views, targets) -> dict:
         """One optimization step from the mean loss over a view batch
@@ -361,13 +333,16 @@ class Trainer:
             cands.append(r)
         return min(cands)
 
-    def _host_events(self, metrics_watermark) -> None:
-        """The same post-step host logic as :meth:`train_step`, applied at
-        the current ``step_count`` (chunk boundaries land exactly on the
-        event steps)."""
+    def _host_events(self, entry_watermark) -> dict:
+        """Post-step host interventions at the current ``step_count``:
+        overflow watch at its cadence (no per-step host sync otherwise),
+        densification, opacity reset. Returns densify stats when an event
+        fired (``fit_scan`` chunk boundaries land exactly on these steps,
+        so chunked and per-step fits follow the identical schedule)."""
         c = self.config
+        stats = {}
         if self.step_count % c.overflow_check_interval == 0:
-            total = int(metrics_watermark)
+            total = int(entry_watermark)
             if total > c.capacity_grow_at * self._entry_capacity:
                 b = c.render.block_size
                 new_cap = int(total * c.capacity_grow_factor)
@@ -381,10 +356,13 @@ class Trainer:
                     visible_count=np.asarray(self._densify_acc["visible_count"]),
                     max_radii=np.asarray(self._densify_acc["max_radii"]),
                 )
-                self.scene, _, _ = densify_and_prune(self.scene, state, c.densify)
+                self.scene, _, stats = densify_and_prune(
+                    self.scene, state, c.densify
+                )
                 self._densify_acc = _zero_densify_acc(self.scene.point_count)
             if self.step_count % c.opacity_reset_interval == 0:
                 self.scene = reset_opacity(self.scene, c.densify)
+        return stats
 
     def fit_scan(
         self,
