@@ -11,6 +11,26 @@ class GausplatError(Exception):
     """Base class for all gausplat_tpu errors."""
 
 
+class IoError(GausplatError):
+    """File-system level failure (reference Error::Io, error/mod.rs:15-16).
+
+    Wraps the underlying ``OSError`` so callers can catch every gausplat
+    failure mode through :class:`GausplatError`.
+    """
+
+    def __init__(self, cause: OSError):
+        self.cause = cause
+        super().__init__(f"Io error: {cause}")
+
+
+class LoaderError(GausplatError):
+    """Malformed input data (reference Error::Loader, error/mod.rs:18-19 —
+    there, the sibling gausplat-loader crate's parse errors)."""
+
+    def __init__(self, message: str):
+        super().__init__(f"Loader error: {message}")
+
+
 class InvalidPixelCountError(GausplatError):
     def __init__(self, pixel_count: int):
         self.pixel_count = pixel_count

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..constants import TILE_SIZE_Y
+from ..constants import SH_DEGREE_MAX, TILE_SIZE_Y
 from ..render.pipeline import RenderOptions, _capacity
 from ..scene.gaussian_3d import GaussianScene
 from ..train.densify import zero_densify_acc
@@ -223,12 +223,26 @@ class ShardedTrainer:
         self._opt_state = None
         self._opt_point_count = -1
         self._entry_capacity = _capacity(scene.point_count, self.config.render)
+        # Running on-device max of tile_point_total since the last overflow
+        # check (mirrors Trainer._entry_watermark).
+        self._entry_watermark = jnp.int32(0)
         self.h_pad = None
+
+    def _sh_degree(self) -> int:
+        """SH warmup schedule, identical to Trainer._sh_degree."""
+        warm = self.step_count // max(self.config.sh_warmup_interval, 1)
+        return min(
+            min(warm, SH_DEGREE_MAX), self.config.render.colors_sh_degree_max
+        )
 
     def _get_step(self):
         r = self.config.render
         options = dataclasses.replace(
-            r, tile_entry_capacity=self._entry_capacity
+            r,
+            tile_entry_capacity=self._entry_capacity,
+            # SH warmup: rebuild the sharded step at warmup boundaries with
+            # the warmed degree, matching the single-device Trainer.
+            colors_sh_degree_max=self._sh_degree(),
         )
         step, optimizer, h_pad = make_sharded_train_step(
             self.mesh,
@@ -268,25 +282,19 @@ class ShardedTrainer:
         )
         self.step_count += 1
 
+        self._entry_watermark = jnp.maximum(
+            self._entry_watermark, metrics["tile_point_total"]
+        )
         c = self.config
-        if self.step_count % c.overflow_check_interval == 0:
-            # Per-shard capacity = global / d_tiles, so compare the global
-            # watermark against the global budget.
-            total = int(metrics["tile_point_total"]) * self.mesh.shape[
-                self.tile_axis
-            ]
-            if total > c.capacity_grow_at * self._entry_capacity:
-                b = c.render.block_size
-                new_cap = int(total * c.capacity_grow_factor)
-                self._entry_capacity = max(
-                    (new_cap + b - 1) // b * b, self._entry_capacity
-                )
+        check_overflow = self.step_count % c.overflow_check_interval == 0
+        watermark_scale = 1.0
         if c.densify_from <= self.step_count < c.densify_until:
             if self.step_count % c.densify_interval == 0:
                 import numpy as np
 
                 from ..train.densify import DensifyState, densify_and_prune
 
+                old_count = self.scene.point_count
                 state = DensifyState(
                     grad_norm_sum=np.asarray(self._densify_acc["grad_norm_sum"]),
                     visible_count=np.asarray(self._densify_acc["visible_count"]),
@@ -297,10 +305,29 @@ class ShardedTrainer:
                 )
                 self._densify_acc = zero_densify_acc(self.scene.point_count)
                 metrics = {**metrics, **stats}
+                # Re-check capacity right away with the watermark projected
+                # by the point growth (mirrors Trainer._host_events).
+                check_overflow = True
+                watermark_scale = self.scene.point_count / max(old_count, 1)
             if self.step_count % c.opacity_reset_interval == 0:
                 from ..train.densify import reset_opacity
 
                 self.scene = reset_opacity(self.scene, c.densify)
+        if check_overflow:
+            # Per-shard capacity = global / d_tiles, so compare the global
+            # watermark against the global budget.
+            total = int(
+                int(self._entry_watermark)
+                * self.mesh.shape[self.tile_axis]
+                * watermark_scale
+            )
+            if total > c.capacity_grow_at * self._entry_capacity:
+                b = c.render.block_size
+                new_cap = int(total * c.capacity_grow_factor)
+                self._entry_capacity = max(
+                    (new_cap + b - 1) // b * b, self._entry_capacity
+                )
+            self._entry_watermark = jnp.int32(0)
         return metrics
 
     def fit(self, cameras, targets, iterations: int) -> list:

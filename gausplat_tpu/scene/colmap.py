@@ -21,6 +21,7 @@ from typing import BinaryIO, Dict, Tuple
 
 import numpy as np
 
+from ..errors import IoError, LoaderError
 from ..render.view import View, Views
 from .point import Points
 
@@ -59,7 +60,7 @@ def _read(fh: BinaryIO, fmt: str):
     size = struct.calcsize(fmt)
     data = fh.read(size)
     if len(data) != size:
-        raise EOFError("truncated COLMAP binary file")
+        raise LoaderError("truncated COLMAP binary file")
     return struct.unpack(fmt, data)
 
 
@@ -68,6 +69,8 @@ def read_cameras_bin(fh: BinaryIO) -> Dict[int, ColmapCamera]:
     cameras: Dict[int, ColmapCamera] = {}
     for _ in range(count):
         camera_id, model_id, width, height = _read(fh, "<iiQQ")
+        if model_id not in CAMERA_MODELS:
+            raise LoaderError(f"unknown COLMAP camera model id {model_id}")
         name, num_params = CAMERA_MODELS[model_id]
         params = np.array(_read(fh, f"<{num_params}d"))
         cameras[camera_id] = ColmapCamera(
@@ -115,6 +118,10 @@ def read_images_bin(
         if image_names is not None:
             image_names[image_id] = name.decode("utf-8", "replace")
 
+        if camera_id not in cameras:
+            raise LoaderError(
+                f"image {image_id} references unknown camera id {camera_id}"
+            )
         cam = cameras[camera_id]
         fx, fy = cam.focal_lengths()
         rotation = _quat_wxyz_to_rotation(qw, qx, qy, qz)  # world -> view
@@ -149,11 +156,19 @@ def read_points3d_bin(fh: BinaryIO) -> Points:
 def load_sparse_model(
     model_dir: str, image_names: Dict[int, str] | None = None
 ) -> tuple[Points, Views]:
-    """Load a COLMAP sparse model directory (cameras/images/points3D.bin)."""
-    with open(os.path.join(model_dir, "cameras.bin"), "rb") as fh:
-        cameras = read_cameras_bin(fh)
-    with open(os.path.join(model_dir, "images.bin"), "rb") as fh:
-        views = read_images_bin(fh, cameras, image_names)
-    with open(os.path.join(model_dir, "points3D.bin"), "rb") as fh:
-        points = read_points3d_bin(fh)
+    """Load a COLMAP sparse model directory (cameras/images/points3D.bin).
+
+    Raises :class:`~gausplat_tpu.errors.IoError` on file-system failures and
+    :class:`~gausplat_tpu.errors.LoaderError` on malformed payloads, matching
+    the reference error surface (error/mod.rs:15-19).
+    """
+    try:
+        with open(os.path.join(model_dir, "cameras.bin"), "rb") as fh:
+            cameras = read_cameras_bin(fh)
+        with open(os.path.join(model_dir, "images.bin"), "rb") as fh:
+            views = read_images_bin(fh, cameras, image_names)
+        with open(os.path.join(model_dir, "points3D.bin"), "rb") as fh:
+            points = read_points3d_bin(fh)
+    except OSError as e:
+        raise IoError(e) from e
     return points, views

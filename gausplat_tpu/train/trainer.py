@@ -223,6 +223,10 @@ class Trainer:
         # from the configured/estimated budget, grow on near-overflow with
         # a recompile.
         self._entry_capacity = _capacity(scene.point_count, config.render)
+        # Running on-device max of tile_point_total since the last overflow
+        # check: a binning spike between the periodic checks is not lost
+        # (one jnp.maximum per step, no host sync).
+        self._entry_watermark = jnp.int32(0)
 
     # -- internals -------------------------------------------------------------
 
@@ -273,7 +277,10 @@ class Trainer:
         )
         self.step_count += 1
 
-        stats = self._host_events(metrics["tile_point_total"])
+        self._entry_watermark = jnp.maximum(
+            self._entry_watermark, metrics["tile_point_total"]
+        )
+        stats = self._host_events()
         return {**metrics, **stats} if stats else metrics
 
     def train_step_batch(self, views, targets) -> dict:
@@ -303,8 +310,10 @@ class Trainer:
         iterations = iterations or self.config.iterations
         history = []
         n = len(views)
-        for i in range(iterations):
-            j = i % n
+        for _ in range(iterations):
+            # Index by the global step counter (not a local loop counter) so
+            # a resumed trainer replays the same view sequence as fit_scan.
+            j = self.step_count % n
             history.append(self.train_step(views[j], targets[j]))
         history = jax.device_get(history)
         return [
@@ -333,24 +342,21 @@ class Trainer:
             cands.append(r)
         return min(cands)
 
-    def _host_events(self, entry_watermark) -> dict:
+    def _host_events(self) -> dict:
         """Post-step host interventions at the current ``step_count``:
-        overflow watch at its cadence (no per-step host sync otherwise),
-        densification, opacity reset. Returns densify stats when an event
-        fired (``fit_scan`` chunk boundaries land exactly on these steps,
-        so chunked and per-step fits follow the identical schedule)."""
+        densification, opacity reset, overflow watch at its cadence (no
+        per-step host sync otherwise — the watermark is the running
+        on-device max carried in ``self._entry_watermark``). Returns
+        densify stats when an event fired (``fit_scan`` chunk boundaries
+        land exactly on these steps, so chunked and per-step fits follow
+        the identical schedule)."""
         c = self.config
         stats = {}
-        if self.step_count % c.overflow_check_interval == 0:
-            total = int(entry_watermark)
-            if total > c.capacity_grow_at * self._entry_capacity:
-                b = c.render.block_size
-                new_cap = int(total * c.capacity_grow_factor)
-                self._entry_capacity = max(
-                    (new_cap + b - 1) // b * b, self._entry_capacity
-                )
+        check_overflow = self.step_count % c.overflow_check_interval == 0
+        watermark_scale = 1.0
         if c.densify_from <= self.step_count < c.densify_until:
             if self.step_count % c.densify_interval == 0:
+                old_count = self.scene.point_count
                 state = DensifyState(
                     grad_norm_sum=np.asarray(self._densify_acc["grad_norm_sum"]),
                     visible_count=np.asarray(self._densify_acc["visible_count"]),
@@ -360,8 +366,23 @@ class Trainer:
                     self.scene, state, c.densify
                 )
                 self._densify_acc = _zero_densify_acc(self.scene.point_count)
+                # A densify step changes the entry load immediately; check
+                # now with the watermark projected by the point growth so
+                # the buffer cannot silently clip until the next cadence
+                # check (we are already host-synced here anyway).
+                check_overflow = True
+                watermark_scale = self.scene.point_count / max(old_count, 1)
             if self.step_count % c.opacity_reset_interval == 0:
                 self.scene = reset_opacity(self.scene, c.densify)
+        if check_overflow:
+            total = int(int(self._entry_watermark) * watermark_scale)
+            if total > c.capacity_grow_at * self._entry_capacity:
+                b = c.render.block_size
+                new_cap = int(total * c.capacity_grow_factor)
+                self._entry_capacity = max(
+                    (new_cap + b - 1) // b * b, self._entry_capacity
+                )
+            self._entry_watermark = jnp.int32(0)
         return stats
 
     def fit_scan(
@@ -400,7 +421,10 @@ class Trainer:
             )
             self.step_count += k
             history.append(metrics)
-            self._host_events(jnp.max(metrics["tile_point_total"]))
+            self._entry_watermark = jnp.maximum(
+                self._entry_watermark, jnp.max(metrics["tile_point_total"])
+            )
+            self._host_events()
         history = jax.device_get(history)
         out = []
         for chunk in history:
