@@ -239,10 +239,15 @@ def forward_batch(
     candidate_t = state.transmittance * prod_incl
 
     # First crossing below the transmittance floor stops the pixel *before*
-    # blending the crossing point (rasterize/kernel.wgsl:178-185).
-    crossed = blendable & (candidate_t < f32(TRANSMITTANCE_MIN))
-    no_cross_prefix = cumprod_points(jnp.where(crossed, f32(0.0), f32(1.0)))
-    blended = blendable & (no_cross_prefix > f32(0.0))
+    # blending the crossing point (rasterize/kernel.wgsl:178-185). Exactly:
+    # a not-done pixel always carries transmittance >= the floor (the
+    # crossing point itself is never blended), and ``candidate_t`` is
+    # non-increasing along the point axis (every factor <= 1), so "no
+    # crossing at or before n" collapses to one comparison — no cumulative
+    # product over the crossing indicator is needed.
+    kept = candidate_t >= f32(TRANSMITTANCE_MIN)
+    blended = blendable & kept
+    crossed = blendable & ~kept
 
     prod_excl = _shift_down(prod_incl, 1, 1.0) if b_pts > 1 else jnp.ones_like(
         prod_incl
@@ -252,10 +257,14 @@ def forward_batch(
     color = state.color + jnp.stack(
         [jnp.sum(weight * entries.color[:, c : c + 1], axis=0) for c in range(3)]
     )
-    # Total blended product = last row of the cumulative product (Mosaic has
-    # no reduce_prod primitive).
-    batch_prod = cumprod_points(jnp.where(blended, one_minus, f32(1.0)))[-1:]
-    transmittance = state.transmittance * batch_prod
+    # New transmittance = the candidate at the last kept position (its min
+    # over kept rows, by monotonicity), or unchanged if nothing was kept —
+    # replaces a third cumulative product with one sublane min-reduction.
+    transmittance = jnp.min(
+        jnp.where(kept, candidate_t, state.transmittance),
+        axis=0,
+        keepdims=True,
+    )
     done = state.done | jnp.any(crossed, axis=0, keepdims=True)
 
     positions = base_position + jnp.arange(b_pts, dtype=jnp.int32)[:, None]

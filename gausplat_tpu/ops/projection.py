@@ -212,12 +212,32 @@ def project_gaussians(
     sh_degree: int,
     tile_count_x: int,
     tile_count_y: int,
+    opacities: Optional[jax.Array] = None,
+    tight_culling: bool = False,
 ) -> ProjectionOutput:
     """Project all Gaussians into screen space (fully vectorized over P).
 
     Differentiable in ``colors_sh``, ``positions``, ``rotations``,
     ``scalings`` (the inner parameterization: scalings are logs, rotations
-    unnormalized quaternions). Opacity does not enter projection.
+    unnormalized quaternions). Opacity does not enter projection — except
+    the optional alpha-aware tile culling below, which is non-differentiable
+    (stop_gradient) integer bookkeeping.
+
+    ``tight_culling``: shrink each point's touched-tile AABB to the exact
+    bounding box of its *blendable* region. The rasterizer blends an entry
+    at a pixel only when ``alpha = opacity * exp(-q/2) >= 1/255``
+    (rasterize/kernel.wgsl:163-172), i.e. inside the ellipse
+    ``q(d) <= 2 ln(255 * opacity)``; the ellipse's axis-aligned half-extents
+    are ``sqrt(2L * Sigma'_xx)`` / ``sqrt(2L * Sigma'_yy)`` (the 2D
+    covariance diagonal — available pre-inversion). Intersected with the
+    reference's eigenvalue-radius AABB this only drops (tile, point)
+    entries that blend into nothing, so the image and gradients are
+    unchanged up to blend-batch regrouping rounding (a few f32 ULPs)
+    while the entry stream (and every sort/gather/blend pair
+    downstream) shrinks — strongly for anisotropic or low-opacity
+    Gaussians, for which the isotropic ``3 sigma_max`` circle is a gross
+    over-cover. ``radii``/``visible`` keep the reference semantics
+    (densification parity) regardless of this flag.
     """
     f32 = jnp.float32
     one = f32(1.0)
@@ -321,16 +341,60 @@ def project_gaussians(
 
     # Touched-tile AABB, truncated toward zero then clamped (:286-306).
     tsx, tsy = f32(TILE_SIZE_X), f32(TILE_SIZE_Y)
-    x_max = jnp.clip(
-        ((pos2d_x + radius + (tsx - 1.0)) / tsx).astype(jnp.int32), 0, tile_count_x
-    )
-    x_min = jnp.clip(((pos2d_x - radius) / tsx).astype(jnp.int32), 0, tile_count_x)
-    y_max = jnp.clip(
-        ((pos2d_y + radius + (tsy - 1.0)) / tsy).astype(jnp.int32), 0, tile_count_y
-    )
-    y_min = jnp.clip(((pos2d_y - radius) / tsy).astype(jnp.int32), 0, tile_count_y)
+
+    def tile_bounds(rx, ry):
+        x_max = jnp.clip(
+            ((pos2d_x + rx + (tsx - 1.0)) / tsx).astype(jnp.int32), 0, tile_count_x
+        )
+        x_min = jnp.clip(((pos2d_x - rx) / tsx).astype(jnp.int32), 0, tile_count_x)
+        y_max = jnp.clip(
+            ((pos2d_y + ry + (tsy - 1.0)) / tsy).astype(jnp.int32), 0, tile_count_y
+        )
+        y_min = jnp.clip(((pos2d_y - ry) / tsy).astype(jnp.int32), 0, tile_count_y)
+        return x_max, x_min, y_max, y_min
+
+    x_max, x_min, y_max, y_min = tile_bounds(radius, radius)
+    # `visible` / `radii` always use the reference AABB (densify parity).
+    tiles_ok = (x_max - x_min) * (y_max - y_min) > 0
+
+    if tight_culling and opacities is not None:
+        sg = jax.lax.stop_gradient
+        op = jax.nn.sigmoid(sg(opacities[:, 0]))
+        # 2L = 2 ln(255 * opacity); <= 0 means alpha < 1/255 everywhere.
+        ll2 = f32(2.0) * jnp.log(jnp.maximum(op, f32(1e-12)) * f32(255.0))
+        alive = ll2 > f32(0.0)
+        ll2 = jnp.maximum(ll2, f32(0.0))
+        # Half-extents of the blendable ellipse's AABB (+ margin against
+        # f32 rounding at the alpha threshold; tile granularity makes the
+        # margin nearly free). The reference's ``trunc((pos + r + 15)/16)``
+        # idiom is a true ceil only for the reference's *integer* radii —
+        # for fractional extents it would drop the last tile whenever
+        # ``(pos + extent) mod 16 < 1`` — so the tight box uses proper
+        # floor bounds and is intersected with the reference box
+        # explicitly.
+        margin = f32(0.01)
+        ex = jnp.sqrt(ll2 * jnp.maximum(sg(c_xx), f32(0.0))) + margin
+        ey = jnp.sqrt(ll2 * jnp.maximum(sg(c_yy), f32(0.0))) + margin
+
+        def tight_lo(pos, e, ts, hi_clip):
+            return jnp.clip(
+                jnp.floor((sg(pos) - e) / ts).astype(jnp.int32), 0, hi_clip
+            )
+
+        def tight_hi(pos, e, ts, hi_clip):
+            return jnp.clip(
+                jnp.floor((sg(pos) + e) / ts).astype(jnp.int32) + 1, 0, hi_clip
+            )
+
+        x_min = jnp.maximum(x_min, tight_lo(pos2d_x, ex, tsx, tile_count_x))
+        x_max = jnp.minimum(x_max, tight_hi(pos2d_x, ex, tsx, tile_count_x))
+        y_min = jnp.maximum(y_min, tight_lo(pos2d_y, ey, tsy, tile_count_y))
+        y_max = jnp.minimum(y_max, tight_hi(pos2d_y, ey, tsy, tile_count_y))
+        empty = jnp.logical_not(alive) | (x_max < x_min) | (y_max < y_min)
+        x_max = jnp.where(empty, x_min, x_max)
+        y_max = jnp.where(empty, y_min, y_max)
+
     tile_count = (x_max - x_min) * (y_max - y_min)
-    tiles_ok = tile_count > 0
 
     # View direction for SH (:314-323); zero-offset cull.
     ox = px - camera.view_position[0]

@@ -88,6 +88,7 @@ def _core(
         options.entry_dtype == "bf16",
         grad_norm_half,
         grad_norm_psum_axis,
+        options.tight_culling,
     )
 
 

@@ -84,6 +84,14 @@ class RenderOptions:
     #: (packed bf16-pair rows — halves the rasterizer's HBM traffic;
     #: positions and accumulation stay f32).
     entry_dtype: str = "f32"
+    #: Alpha-aware tile culling: shrink each point's touched-tile AABB to
+    #: the exact bounding box of its blendable (alpha >= 1/255) ellipse
+    #: (see ops.projection.project_gaussians). Image and gradients are
+    #: unchanged up to a few ULPs (dropped entries blend into nothing;
+    #: batch boundaries regroup); the entry stream and pair-evaluation
+    #: count shrink. Off = reference AABB semantics
+    #: (point_rendered_counts then also match the reference's indices).
+    tight_culling: bool = True
 
 
 class RenderOutput(NamedTuple):
@@ -125,6 +133,7 @@ def _build_render_fn(
     packed: bool = False,
     grad_norm_half: Optional[tuple] = None,
     grad_norm_psum_axis: Optional[str] = None,
+    tight_culling: bool = True,
 ):
     """Build the (unjitted) custom-VJP render core for a static config.
 
@@ -157,6 +166,8 @@ def _build_render_fn(
                 sh_degree=sh_degree,
                 tile_count_x=tile_count_x,
                 tile_count_y=tile_count_y,
+                opacities=opacities,
+                tight_culling=tight_culling,
             )
         with jax.named_scope("gausplat.bin"):
             binning = bin_gaussians(
@@ -233,7 +244,7 @@ def _build_render_fn(
         )
         residuals = (
             colors_sh, opacities, positions, rotations, scalings, camera,
-            stream, binning.point_offsets, binning.total,
+            stream, binning.point_offsets, binning.reduce_perm, binning.total,
             image_tiles, count_tiles,
         )
         return out, residuals
@@ -241,7 +252,7 @@ def _build_render_fn(
     def _render_bwd(residuals, cotangents):
         (
             colors_sh, opacities, positions, rotations, scalings, camera,
-            stream, point_offsets, entry_total,
+            stream, point_offsets, reduce_perm, entry_total,
             image_tiles, count_tiles,
         ) = residuals
         grad_image = cotangents.colors_rgb_2d  # [H, W, 3]
@@ -269,14 +280,17 @@ def _build_render_fn(
 
         # Deterministic, scatter-free gradient accumulation over duplicated
         # entries (replaces atomicAdd: rasterize_backward/kernel.wgsl:
-        # 255-269): a stable sort by source point id groups each point's
-        # entry grads contiguously (in the same tile-ascending order they
-        # hold pre-sort, so the f32 summation order is reproducible); a
-        # tiled prefix sum differenced at each point's span end yields the
-        # per-point totals. TPU scatter-add over duplicate indices
-        # (segment_sum) is ~10x slower; sorting the grads as payload
-        # columns beats gathering the same volume through an inverse
-        # permutation.
+        # 255-269): gathering the per-entry grad rows through the
+        # forward-computed inverse sort permutation (binning.reduce_perm)
+        # restores the pre-sort expansion layout, which IS point-grouped
+        # order — each point's entries at [offsets[p-1], offsets[p]) in
+        # tile-ascending order, bit-identical to what a stable sort by
+        # point id would produce (the round-2 design) at a fraction of the
+        # cost: the (1 + R)-operand payload sort becomes one multi-row
+        # gather, and the permutation's own 2-operand int sorts live in
+        # the forward pass. A tiled prefix sum differenced at each point's
+        # span end then yields the per-point totals. TPU scatter-add over
+        # duplicate indices (segment_sum) is ~10x slower.
         with jax.named_scope("gausplat.grad_reduce"):
             valid_count = jnp.minimum(entry_total, jnp.int32(capacity))
             # Zero rows at padding positions (beyond any tile segment —
@@ -285,16 +299,8 @@ def _build_render_fn(
                 jnp.arange(capacity, dtype=jnp.int32) < valid_count
             )
             entry_grads = jnp.where(slot_valid[None, :], entry_grads, 0)
-            sorted_ops = jax.lax.sort(
-                (stream.entry_point,)
-                + tuple(entry_grads[c] for c in range(entry_grads.shape[0])),
-                dimension=0,
-                is_stable=True,
-                num_keys=1,
-            )
-            # (grad_rows_to_components indexes rows; a tuple of [cap]
-            # arrays avoids materializing a stacked copy.)
-            grads_by_point = grad_rows_to_components(sorted_ops[1:], packed)
+            grads_presort = jnp.take(entry_grads, reduce_perm, axis=1)
+            grads_by_point = grad_rows_to_components(grads_presort, packed)
             hi_idx = jnp.minimum(point_offsets, valid_count) - 1
             d_comp = []
             for gu in grads_by_point:
@@ -405,6 +411,9 @@ def render(
         _resolve_backend(options.backend),
         options.interpret,
         options.entry_dtype == "bf16",
+        None,
+        None,
+        options.tight_culling,
     )
     if positions_2d_grad_norm_ref is None:
         positions_2d_grad_norm_ref = jnp.zeros((point_count,), jnp.float32)

@@ -75,10 +75,11 @@ def _make_train_step(
     ssim_weight: float,
     optimizer_config: OptimizerConfig,
     packed: bool = False,
+    tight_culling: bool = True,
 ):
     render_fn = _build_render_fn(
         image_width, image_height, point_count, sh_degree, capacity,
-        block_size, backend, interpret, packed,
+        block_size, backend, interpret, packed, None, None, tight_culling,
     )
     optimizer = make_optimizer(optimizer_config)
 
@@ -196,6 +197,29 @@ def _make_train_step(
 _zero_densify_acc = zero_densify_acc
 
 
+def next_host_event(c: TrainConfig, now: int, end: int) -> int:
+    """First step index > ``now`` at which host intervention is due
+    (SH-warmup recompile, overflow check, densify, opacity reset), or
+    ``end``. Shared by the single-device and sharded trainers so their
+    scanned chunks break at the identical schedule."""
+
+    def nxt(interval: int) -> int:
+        interval = max(interval, 1)
+        return (now // interval + 1) * interval
+
+    cands = [end, nxt(c.sh_warmup_interval), nxt(c.overflow_check_interval)]
+    d = max(
+        nxt(c.densify_interval),
+        -(-c.densify_from // c.densify_interval) * c.densify_interval,
+    )
+    if d < c.densify_until:
+        cands.append(d)
+    r = nxt(c.opacity_reset_interval)
+    if c.densify_from <= r < c.densify_until:
+        cands.append(r)
+    return min(cands)
+
+
 class Trainer:
     """Host-side orchestration of the compiled train step + density control.
 
@@ -251,6 +275,7 @@ class Trainer:
             self.config.ssim_weight,
             self.config.optimizer,
             r.entry_dtype == "bf16",
+            r.tight_culling,
         )
 
     # -- public API ------------------------------------------------------------
@@ -326,21 +351,7 @@ class Trainer:
         (SH-warmup recompile, overflow check, densify, opacity reset), or
         ``end``. Scanned chunks must break exactly there so chunked fits
         replay the per-step schedule."""
-        c = self.config
-        now = self.step_count
-
-        def nxt(interval: int) -> int:
-            interval = max(interval, 1)
-            return (now // interval + 1) * interval
-
-        cands = [end, nxt(c.sh_warmup_interval), nxt(c.overflow_check_interval)]
-        d = max(nxt(c.densify_interval), -(-c.densify_from // c.densify_interval) * c.densify_interval)
-        if d < c.densify_until:
-            cands.append(d)
-        r = nxt(c.opacity_reset_interval)
-        if c.densify_from <= r < c.densify_until:
-            cands.append(r)
-        return min(cands)
+        return next_host_event(self.config, self.step_count, end)
 
     def _host_events(self) -> dict:
         """Post-step host interventions at the current ``step_count``:

@@ -42,7 +42,7 @@ def run(pos, i, stage):
         proj.tile_counts, tile_count_x=TCX, capacity=CAP)
     acc = acc + keys[-1].astype(jnp.float32) + src[-1].astype(jnp.float32)
     if stage < 2: return acc
-    sk, sv = sort_entries(keys, src)
+    sk, sv, _ = sort_entries(keys, src)
     acc = acc + sk[-1].astype(jnp.float32) + sv[-1].astype(jnp.float32)
     if stage < 3: return acc
     ranges = tile_ranges_from_keys(sk, total, num_tiles=TCX * TCY)

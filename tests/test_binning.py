@@ -17,6 +17,10 @@ from gausplat_tpu.ops.binning import (
     tile_ranges_from_keys,
 )
 
+import pytest
+
+pytestmark = pytest.mark.quick
+
 
 def test_depth_order_monotone_16bit():
     rng = np.random.default_rng(0)
@@ -94,7 +98,7 @@ def test_sort_stable_and_ranges():
     n = (1 << 10) - 1  # non-power-of-two
     keys = rng.integers(0, 1 << 20, n, dtype=np.uint32).astype(np.uint32)
     vals = np.arange(n, dtype=np.int32)
-    sk, sv = sort_entries(jnp.asarray(keys), jnp.asarray(vals))
+    sk, sv, _ = sort_entries(jnp.asarray(keys), jnp.asarray(vals))
     sk, sv = np.asarray(sk), np.asarray(sv)
     order = np.argsort(keys, kind="stable")
     np.testing.assert_array_equal(sk, keys[order])
@@ -103,7 +107,7 @@ def test_sort_stable_and_ranges():
     num_tiles = 20
     tiles = rng.integers(0, num_tiles, n, dtype=np.uint32)
     keys2 = (tiles.astype(np.uint32) << np.uint32(16)) | np.uint32(7)
-    sk2, _ = sort_entries(jnp.asarray(keys2), jnp.asarray(vals))
+    sk2, _, _ = sort_entries(jnp.asarray(keys2), jnp.asarray(vals))
     ranges = np.asarray(
         tile_ranges_from_keys(sk2, jnp.int32(n), num_tiles=num_tiles)
     )
@@ -124,3 +128,37 @@ def test_bin_gaussians_overflow_detection():
     )
     assert int(out.total) == 256  # true total reported even past capacity
     assert out.point_indices.shape == (64,)
+
+
+def test_reduce_perm_restores_point_grouped_order():
+    """Gathering the sorted stream through reduce_perm must reproduce the
+    pre-sort expansion layout: point p's entries at
+    [offsets[p-1], offsets[p]) in tile-ascending order — the layout the
+    backward's per-point gradient reduction assumes."""
+    rng = np.random.default_rng(3)
+    p = 40
+    depths = jnp.asarray(rng.uniform(0.5, 8.0, p).astype(np.float32))
+    x_min = rng.integers(0, 3, p).astype(np.int32)
+    widths = rng.integers(0, 4, p).astype(np.int32)  # some zero-count points
+    y_min = rng.integers(0, 3, p).astype(np.int32)
+    heights = rng.integers(0, 3, p).astype(np.int32)
+    counts = widths * heights
+    out = bin_gaussians(
+        depths,
+        jnp.asarray(x_min + widths),
+        jnp.asarray(x_min),
+        jnp.asarray(y_min),
+        jnp.asarray(counts),
+        tile_count_x=6, tile_count_y=5, capacity=256,
+    )
+    total = int(out.total)
+    assert 0 < total <= 256
+    regrouped = np.asarray(out.point_indices)[np.asarray(out.reduce_perm)]
+    expected = np.repeat(np.arange(p, dtype=np.int32), counts)
+    np.testing.assert_array_equal(regrouped[:total], expected)
+    # Pads (point id P) stay in the tail.
+    assert (regrouped[total:] == p).all()
+    # Span ends line up with the inclusive count cumsum.
+    np.testing.assert_array_equal(
+        np.asarray(out.point_offsets), np.cumsum(counts).astype(np.int32)
+    )

@@ -40,6 +40,9 @@ def test_sixstars_render_matches_oracle():
         colors_sh_degree_max=0,
         tile_entry_capacity=1 << 14,
         block_size=64,
+        # The oracle expansion below uses the reference AABB; rendered-count
+        # indices are compared exactly, so disable the alpha-aware cull.
+        tight_culling=False,
     )
     out = render(scene, view, opts)
     img = np.asarray(out.colors_rgb_2d)

@@ -151,7 +151,12 @@ def test_full_pipeline_matches_f64_oracle():
         view_transform=View.transform(np.eye(3), [0.0, 0.0, 4.0]),
     )
     opts = RenderOptions(
-        backend="xla", colors_sh_degree_max=0, tile_entry_capacity=1 << 16
+        backend="xla",
+        colors_sh_degree_max=0,
+        tile_entry_capacity=1 << 16,
+        # The f64 oracle expands with the reference AABB and the rendered
+        # counts are index-compared; keep the reference semantics here.
+        tight_culling=False,
     )
     out = render(scene, view, opts)
     img = np.asarray(out.colors_rgb_2d)
