@@ -8,6 +8,8 @@ from gausplat_tpu import GaussianScene, Points
 from gausplat_tpu.train import make_optimizer
 from gausplat_tpu.train.checkpoint import load_training_state, save_training_state
 
+pytestmark = pytest.mark.quick
+
 ocp = pytest.importorskip("orbax.checkpoint")
 
 

@@ -13,6 +13,10 @@ from gausplat_tpu.scene.colmap import (
     read_points3d_bin,
 )
 
+import pytest
+
+pytestmark = pytest.mark.quick
+
 
 def _cameras_blob():
     out = struct.pack("<Q", 2)

@@ -5,6 +5,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from gausplat_tpu.ops.prefix import prefix_max, prefix_sum
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def test_prefix_sum_matches_numpy():

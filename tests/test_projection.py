@@ -9,6 +9,9 @@ import jax.numpy as jnp
 from gausplat_tpu import View
 from gausplat_tpu.constants import FACTOR_RADIUS, FILTER_LOW_PASS, SH_COEF
 from gausplat_tpu.ops.projection import Camera, project_gaussians, quat_to_rotmat
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def _camera(width=64, height=48, fov_x=1.0, fov_y=0.8, origin=(0.0, 0.0, 4.0)):

@@ -21,6 +21,8 @@ from gausplat_tpu import (
 )
 from gausplat_tpu.errors import MismatchedPolygonHeaderError
 
+pytestmark = pytest.mark.quick
+
 REFERENCE_FIXTURE = "/root/reference/examples/data/3dgs-ply/sixstars.3dgs.ply"
 
 

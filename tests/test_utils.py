@@ -12,6 +12,10 @@ from gausplat_tpu.utils.profiling import (
     wall_timer,
 )
 
+import pytest
+
+pytestmark = pytest.mark.quick
+
 
 def test_stage_scope_composes_with_tracing():
     with stage("gausplat.test"):
