@@ -185,7 +185,30 @@ def make_sharded_train_step(
     def step(scene, opt_state, densify_acc, cameras, targets):
         return sharded(scene, opt_state, densify_acc, cameras, targets)
 
-    return step, optimizer, h_pad
+    @functools.lru_cache(maxsize=64)
+    def make_step_scan(num_steps: int):
+        """Compile ``num_steps`` sharded batch steps into ONE dispatch
+        (``lax.scan`` around the shard_map'd step) — the multi-chip
+        counterpart of the single-device Trainer's scanned chunks; without
+        it, training is dispatch-bound (host RPC per step)."""
+
+        @jax.jit
+        def step_scan(scene, opt_state, densify_acc, cameras, targets):
+            def body(carry, _):
+                scene, opt_state, densify_acc = carry
+                scene, opt_state, densify_acc, metrics = sharded(
+                    scene, opt_state, densify_acc, cameras, targets
+                )
+                return (scene, opt_state, densify_acc), metrics
+
+            (scene, opt_state, densify_acc), metrics = jax.lax.scan(
+                body, (scene, opt_state, densify_acc), None, length=num_steps
+            )
+            return scene, opt_state, densify_acc, metrics
+
+        return step_scan
+
+    return step, optimizer, h_pad, make_step_scan
 
 
 class ShardedTrainer:
@@ -244,7 +267,7 @@ class ShardedTrainer:
             # the warmed degree, matching the single-device Trainer.
             colors_sh_degree_max=self._sh_degree(),
         )
-        step, optimizer, h_pad = make_sharded_train_step(
+        step, optimizer, h_pad, make_step_scan = make_sharded_train_step(
             self.mesh,
             self.image_width,
             self.image_height,
@@ -256,7 +279,7 @@ class ShardedTrainer:
             self.config.ssim_weight,
         )
         self.h_pad = h_pad
-        return step, optimizer
+        return step, optimizer, make_step_scan
 
     def pad_targets(self, targets) -> jnp.ndarray:
         """[V, H, W, 3] -> [V, h_pad, W, 3] (zero rows; values ignored)."""
@@ -270,7 +293,7 @@ class ShardedTrainer:
     def train_step(self, cameras, targets_padded) -> dict:
         """One optimization step on a batched view set. Returns metrics as
         device scalars (no per-step host sync)."""
-        step, optimizer = self._get_step()
+        step, optimizer, _ = self._get_step()
         if self._opt_point_count != self.scene.point_count:
             self._opt_state = optimizer.init(self.scene)
             self._opt_point_count = self.scene.point_count
@@ -285,13 +308,22 @@ class ShardedTrainer:
         self._entry_watermark = jnp.maximum(
             self._entry_watermark, metrics["tile_point_total"]
         )
+        stats = self._host_events()
+        return {**metrics, **stats} if stats else metrics
+
+    def _host_events(self) -> dict:
+        """Post-step host interventions at the current ``step_count``
+        (densify, opacity reset, overflow watch), mirroring
+        ``Trainer._host_events``; shared by the per-step and scanned fit
+        paths so both follow the identical schedule."""
+        import numpy as np
+
         c = self.config
+        stats = {}
         check_overflow = self.step_count % c.overflow_check_interval == 0
         watermark_scale = 1.0
         if c.densify_from <= self.step_count < c.densify_until:
             if self.step_count % c.densify_interval == 0:
-                import numpy as np
-
                 from ..train.densify import DensifyState, densify_and_prune
 
                 old_count = self.scene.point_count
@@ -304,7 +336,6 @@ class ShardedTrainer:
                     self.scene, state, c.densify
                 )
                 self._densify_acc = zero_densify_acc(self.scene.point_count)
-                metrics = {**metrics, **stats}
                 # Re-check capacity right away with the watermark projected
                 # by the point growth (mirrors Trainer._host_events).
                 check_overflow = True
@@ -328,7 +359,7 @@ class ShardedTrainer:
                     (new_cap + b - 1) // b * b, self._entry_capacity
                 )
             self._entry_watermark = jnp.int32(0)
-        return metrics
+        return stats
 
     def fit(self, cameras, targets, iterations: int) -> list:
         """Run ``iterations`` steps on the fixed view batch."""
@@ -344,3 +375,50 @@ class ShardedTrainer:
             }
             for h in history
         ]
+
+    def fit_scan(
+        self, cameras, targets, iterations: int, max_chunk: int = 100
+    ) -> list:
+        """Like :meth:`fit`, but runs steps in compiled ``lax.scan`` chunks
+        — one dispatch per chunk instead of per step (multi-chip training
+        is otherwise dispatch-bound on host RPC latency, exactly as the
+        single-device ``Trainer.fit_scan`` rationale). Chunks break at
+        every host-intervention step (shared ``next_host_event`` schedule),
+        so the result follows the identical schedule as per-step
+        :meth:`fit`."""
+        from ..train.trainer import next_host_event
+
+        padded = self.pad_targets(targets)
+        end = self.step_count + iterations
+        history = []
+        while self.step_count < end:
+            _, optimizer, make_step_scan = self._get_step()
+            if self._opt_point_count != self.scene.point_count:
+                self._opt_state = optimizer.init(self.scene)
+                self._opt_point_count = self.scene.point_count
+                self._densify_acc = zero_densify_acc(self.scene.point_count)
+            k = min(
+                next_host_event(self.config, self.step_count, end)
+                - self.step_count,
+                max_chunk,
+            )
+            step_scan = make_step_scan(k)
+            (
+                self.scene, self._opt_state, self._densify_acc, metrics
+            ) = step_scan(
+                self.scene, self._opt_state, self._densify_acc, cameras,
+                padded,
+            )
+            self.step_count += k
+            history.append(metrics)
+            self._entry_watermark = jnp.maximum(
+                self._entry_watermark, jnp.max(metrics["tile_point_total"])
+            )
+            self._host_events()
+        history = jax.device_get(history)
+        out = []
+        for chunk in history:
+            ks = list(chunk.keys())
+            for i in range(len(chunk[ks[0]])):
+                out.append({k: float(chunk[k][i]) for k in ks})
+        return out

@@ -58,7 +58,7 @@ def _run_pair(h, ssim_weight):
     ]
 
     mesh = make_mesh((2, 2), ("data", "tiles"))
-    step, optimizer, h_pad = make_sharded_train_step(
+    step, optimizer, h_pad, _ = make_sharded_train_step(
         mesh, W, h, scene.point_count, OPTS, ssim_weight=ssim_weight
     )
     cams = stack_cameras(views)
@@ -156,3 +156,47 @@ def test_sharded_fit_with_densify_event():
     assert trainer.scene.point_count != p0
     # The step after the reshape ran (losses exist past the event).
     assert np.isfinite(history[-1]["loss"])
+
+
+def test_sharded_fit_scan_matches_fit():
+    """ShardedTrainer.fit_scan (lax.scan chunks around the shard_map'd
+    step, one dispatch per chunk) must follow the identical schedule and
+    trajectory as the per-step fit — the multi-chip counterpart of
+    Trainer's test_fit_scan_matches_fit."""
+    from gausplat_tpu.parallel.train_step import ShardedTrainer
+    from gausplat_tpu.train.trainer import TrainConfig
+    from gausplat_tpu.train.densify import DensifyConfig
+
+    h = 64
+    views = _views(2, h)
+    targets = np.stack([
+        np.asarray(render(_scene(seed=9), v, OPTS).colors_rgb_2d)
+        for v in views
+    ])
+    mesh = make_mesh((2, 2), ("data", "tiles"))
+    cfg = TrainConfig(
+        render=OPTS,
+        ssim_weight=0.0,  # keep the CPU-mesh test fast
+        densify_from=3,
+        densify_until=9,
+        densify_interval=4,
+        densify=DensifyConfig(grad_threshold=1e-7, percent_dense=0.05),
+        sh_warmup_interval=5,
+        opacity_reset_interval=10**9,
+        overflow_check_interval=6,
+    )
+    tr_a = ShardedTrainer(_scene(p=24, seed=4), mesh, W, h, cfg)
+    tr_b = ShardedTrainer(_scene(p=24, seed=4), mesh, W, h, cfg)
+    cams = stack_cameras(views)
+    hist_a = tr_a.fit(cams, targets, iterations=11)
+    hist_b = tr_b.fit_scan(cams, targets, iterations=11, max_chunk=3)
+    assert tr_a.step_count == tr_b.step_count == 11
+    assert tr_a.scene.point_count == tr_b.scene.point_count
+    np.testing.assert_allclose(
+        np.asarray(tr_a.scene.positions),
+        np.asarray(tr_b.scene.positions),
+        atol=5e-4,
+    )
+    la = [m["loss"] for m in hist_a]
+    lb = [m["loss"] for m in hist_b]
+    np.testing.assert_allclose(la, lb, rtol=1e-4, atol=1e-6)
