@@ -9,7 +9,14 @@ starts from a fresh 150-point cloud. Round-robin single-view steps
 (SURVEY.md section 5 training loop; the reference crate itself contains no
 trainer — gausplat-trainer's loop is the parity target).
 
-Usage: python scripts/train_long.py [iters] [out.json]
+Usage: python scripts/train_long.py [iters] [out.json] [--full]
+
+``--full`` (or iters >= 20000) switches to the config-4 analogue FULL
+schedule — the standard 3DGS recipe the TrainConfig defaults encode:
+densify to step 15000, opacity resets every 3000 steps inside the densify
+window, SH warmup every 1000 — exercising the late-schedule paths
+(post-densify plateau, opacity-reset recovery, capacity growth) that the
+10k run never reaches.
 """
 import json
 import sys
@@ -21,8 +28,10 @@ import jax.numpy as jnp
 from gausplat_tpu import GaussianScene, Points, RenderOptions, View, render
 from gausplat_tpu.train import TrainConfig, Trainer
 
-iters = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
-out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/train_long.json"
+args = [a for a in sys.argv[1:] if a != "--full"]
+iters = int(args[0]) if args else 10_000
+out_path = args[1] if len(args) > 1 else "/tmp/train_long.json"
+full = "--full" in sys.argv or iters >= 20_000
 size = 256
 opts = RenderOptions(tile_entry_capacity=1 << 17, block_size=256)
 rng = np.random.default_rng(0)
@@ -56,14 +65,29 @@ start = GaussianScene.from_points(
     Points(rng.random((q, 3)).astype(np.float32), rng.standard_normal((q, 3)) * 0.7)
 )
 
-cfg = TrainConfig(
-    render=opts,
-    densify_from=500,
-    densify_until=min(iters - 500, 6000),
-    densify_interval=300,
-    sh_warmup_interval=500,
-    opacity_reset_interval=10**9,
-)
+if full:
+    # Full 3DGS schedule (TrainConfig defaults): densify [500, 15000) at
+    # the standard cadence widened to 300 (each densify changes the point
+    # count -> a recompile through the tunnel; 300 keeps the run's compile
+    # budget sane while still exercising ~48 growth events), opacity
+    # resets every 3000, SH warmup to degree 3 by step 3000.
+    cfg = TrainConfig(
+        render=opts,
+        densify_from=500,
+        densify_until=15_000,
+        densify_interval=300,
+        sh_warmup_interval=1_000,
+        opacity_reset_interval=3_000,
+    )
+else:
+    cfg = TrainConfig(
+        render=opts,
+        densify_from=500,
+        densify_until=min(iters - 500, 6000),
+        densify_interval=300,
+        sh_warmup_interval=500,
+        opacity_reset_interval=10**9,
+    )
 tr = Trainer(start, size, size, cfg)
 
 curve = []
