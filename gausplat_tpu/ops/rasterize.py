@@ -85,6 +85,14 @@ import os as _os
 
 BLEND_GROUP = int(_os.environ.get("GAUSPLAT_BLEND_GROUP", "0"))
 
+#: Sub-tile done-masking (forward kernel): split each window's 256-pixel
+#: tile into two 128-lane halves and skip a half once all of its pixels
+#: are done. Exact (the blend is independent per pixel); saves VPU work
+#: on partially saturated tiles at the cost of one extra predicate per
+#: window. Off by default pending an on-chip full-chain A/B
+#: (PERF.md round-2 lesson: stage-level wins can lose in-chain).
+HALF_MASK = int(_os.environ.get("GAUSPLAT_HALF_MASK", "0"))
+
 
 def _blend_forward(state, entries, pix_x, pix_y, base_pos, mask):
     b = entries.opacity.shape[0]
@@ -329,17 +337,32 @@ def _forward_kernel(
     def _():
         entries = entries_from_rows(entry_ref[...], packed)
         pix_x, pix_y = _pixel_coords(tile_ref[i], tile_count_x)
-        state = ForwardState(
-            color=image_ref[...],
-            transmittance=trans_ref[...],
-            done=done_ref[...] > 0,
-            rendered_count=count_ref[...],
-        )
-        new = _blend_forward(state, entries, pix_x, pix_y, base_pos, mask)
-        image_ref[...] = new.color
-        trans_ref[...] = new.transmittance
-        count_ref[...] = new.rendered_count
-        done_ref[...] = new.done.astype(jnp.int32)
+
+        def blend_lanes(sl):
+            state = ForwardState(
+                color=image_ref[:, sl],
+                transmittance=trans_ref[:, sl],
+                done=done_ref[:, sl] > 0,
+                rendered_count=count_ref[:, sl],
+            )
+            new = _blend_forward(
+                state, entries, pix_x[:, sl], pix_y[:, sl], base_pos, mask
+            )
+            image_ref[:, sl] = new.color
+            trans_ref[:, sl] = new.transmittance
+            count_ref[:, sl] = new.rendered_count
+            done_ref[:, sl] = new.done.astype(jnp.int32)
+
+        if not HALF_MASK:
+            blend_lanes(slice(None))
+        else:
+            half = PIXELS_PER_TILE // 2
+            for h in range(2):
+                sl = slice(h * half, (h + 1) * half)
+
+                @pl.when(jnp.logical_not(jnp.all(done_ref[:, sl] > 0)))
+                def _(sl=sl):
+                    blend_lanes(sl)
 
 
 def rasterize_forward_pallas(

@@ -363,3 +363,15 @@ def test_gradients_match_finite_differences():
             assert abs(fd - an) / scale < tol, (name, idx, fd, an)
             checked += 1
     assert checked == 10
+
+
+def test_half_mask_forward_interpret_matches(monkeypatch):
+    """GAUSPLAT_HALF_MASK sub-tile done-masking is exact: the forward
+    kernel with per-half compute skips matches the XLA fallback (the skip
+    only elides work for pixels whose ``done`` already masks every
+    blend)."""
+    pytest.importorskip("jax.experimental.pallas")
+    from gausplat_tpu.ops import rasterize
+
+    monkeypatch.setattr(rasterize, "HALF_MASK", 1)
+    test_pallas_interpret_matches_xla()
