@@ -191,7 +191,26 @@ def main():
 
     _progress("importing jax")
     jax = _setup_jax()
+
+    # Device-init watchdog: the hosted TPU tunnel can go down for hours
+    # (round 3), in which case jax.devices() blocks forever and a driver
+    # `timeout N python bench.py` dies with no output. Name the cause on
+    # stderr so the timeout is attributable to infra, not the engine.
+    import threading
+
+    devices_ok = threading.Event()
+
+    def _watchdog():
+        if not devices_ok.wait(150):
+            _progress(
+                "WARNING: jax.devices() has not returned after 150 s — the "
+                "TPU tunnel is likely down; this run will produce no JSON. "
+                "Infra failure, not an engine failure."
+            )
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     _progress(f"devices: {jax.devices()}")
+    devices_ok.set()
 
     point_count = int(os.environ.get("BENCH_POINTS", 1_000_000))
     width = int(os.environ.get("BENCH_WIDTH", 1920))
