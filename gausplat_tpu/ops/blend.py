@@ -177,20 +177,45 @@ def cumsum_points(x: jax.Array) -> jax.Array:
     return x
 
 
+#: exp2 density path (GAUSPLAT_EXP2=1): fold ``-0.5 * log2(e)`` into the
+#: conic once per *entry* ([B, 1] ops) so the per-pair chain drops the
+#: ``-0.5`` multiply and evaluates the VPU-native ``exp2`` directly instead
+#: of ``exp`` (which lowers to exp2 plus a per-pair log2(e) multiply).
+#: Bit-identical up to 1-2 ULP of the reference ``exp(-0.5 q)``
+#: (rasterize/kernel.wgsl:163-172). Opt-in until the Mosaic lowering of
+#: exp2 is verified on-chip.
+import os as _os
+
+EXP2_DENSITY = int(_os.environ.get("GAUSPLAT_EXP2", "0"))
+
+_NEG_HALF_LOG2E = np.float32(-0.5 * np.log2(np.e))
+
+
 def density_terms(entries: EntryBlock, pix_x: jax.Array, pix_y: jax.Array):
     """Common density/alpha terms. ``pix_*``: [1, N]. Returns [B, N] arrays
     (dx, dy, density, alpha, blendable)."""
     f32 = jnp.float32
     dx = entries.pos_x - pix_x
     dy = entries.pos_y - pix_y
-    quad = (
-        entries.conic_xx * dx * dx
-        + f32(2.0) * entries.conic_xy * dx * dy
-        + entries.conic_yy * dy * dy
-    )
-    density = jnp.exp(f32(-0.5) * quad)
+    if EXP2_DENSITY:
+        s = _NEG_HALF_LOG2E
+        cxx = entries.conic_xx * s  # [B, 1]: once per entry, not per pair
+        cxy = entries.conic_xy * (f32(2.0) * s)
+        cyy = entries.conic_yy * s
+        quad2 = cxx * dx * dx + cxy * (dx * dy) + cyy * dy * dy
+        density = jnp.exp2(quad2)
+        # density <= 1  <=>  quad >= 0  <=>  quad2 <= 0 (s < 0), exactly.
+        in_range = quad2 <= f32(0.0)
+    else:
+        quad = (
+            entries.conic_xx * dx * dx
+            + f32(2.0) * entries.conic_xy * dx * dy
+            + entries.conic_yy * dy * dy
+        )
+        density = jnp.exp(f32(-0.5) * quad)
+        in_range = density <= f32(1.0)
     alpha = jnp.minimum(entries.opacity * density, f32(OPACITY_2D_MAX))
-    blendable = (density <= f32(1.0)) & (alpha >= f32(OPACITY_2D_MIN))
+    blendable = in_range & (alpha >= f32(OPACITY_2D_MIN))
     return dx, dy, density, alpha, blendable
 
 

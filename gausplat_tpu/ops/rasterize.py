@@ -93,6 +93,27 @@ BLEND_GROUP = int(_os.environ.get("GAUSPLAT_BLEND_GROUP", "0"))
 #: (PERF.md round-2 lesson: stage-level wins can lose in-chain).
 HALF_MASK = int(_os.environ.get("GAUSPLAT_HALF_MASK", "0"))
 
+#: Group-skip blending (Pallas kernels only, needs BLEND_GROUP): process
+#: each window as BLEND_GROUP-entry sub-groups chained through the VMEM
+#: state refs, and *skip* a group entirely when it lies outside the step's
+#: valid lane window [lo, hi) (forward + backward), is beyond every pixel's
+#: forward rendered count (backward), or every pixel is already done
+#: (forward). Exact: skipped groups are all-masked no-ops by construction.
+#: Attacks the ~1.53x boundary-window lane waste (PERF.md roofline) and
+#: shrinks the in-batch prefix log factor from log2(B) to log2(group).
+#: Off by default pending an on-chip full-chain A/B (plain grouping was
+#: refuted in round 2 — the state ref round-trips defeated pipelining —
+#: but the skip predicates change the tradeoff).
+GROUP_SKIP = int(_os.environ.get("GAUSPLAT_GROUP_SKIP", "0"))
+
+
+def _group_size(block_size: int) -> int:
+    """The active sub-group length for group-skip kernels (0 = disabled)."""
+    g = BLEND_GROUP if GROUP_SKIP else 0
+    if g and block_size % g == 0 and block_size > g:
+        return g
+    return 0
+
 
 def _blend_forward(state, entries, pix_x, pix_y, base_pos, mask):
     b = entries.opacity.shape[0]
@@ -353,7 +374,35 @@ def _forward_kernel(
             count_ref[:, sl] = new.rendered_count
             done_ref[:, sl] = new.done.astype(jnp.int32)
 
-        if not HALF_MASK:
+        g = _group_size(block_size)
+        if g:
+            for s0 in range(0, block_size, g):
+                active = (
+                    (lo < s0 + g)
+                    & (hi > s0)
+                    & jnp.logical_not(jnp.all(done_ref[...] > 0))
+                )
+
+                @pl.when(active)
+                def _(s0=s0):
+                    sub = jax.tree_util.tree_map(
+                        lambda f: f[s0 : s0 + g], entries
+                    )
+                    state = ForwardState(
+                        color=image_ref[...],
+                        transmittance=trans_ref[...],
+                        done=done_ref[...] > 0,
+                        rendered_count=count_ref[...],
+                    )
+                    new = forward_batch(
+                        state, sub, pix_x, pix_y, base_pos + s0,
+                        mask[s0 : s0 + g],
+                    )
+                    image_ref[...] = new.color
+                    trans_ref[...] = new.transmittance
+                    count_ref[...] = new.rendered_count
+                    done_ref[...] = new.done.astype(jnp.int32)
+        elif not HALF_MASK:
             blend_lanes(slice(None))
         else:
             half = PIXELS_PER_TILE // 2
@@ -491,6 +540,45 @@ def _backward_kernel(
     def _():
         entries = entries_from_rows(entry_ref[...], packed)
         pix_x, pix_y = _pixel_coords(tile_ref[i], tile_count_x)
+
+        g = _group_size(block_size)
+        if g:
+            # Per-group refinement of the window-level count cut: groups
+            # wholly beyond every pixel's rendered count contribute zero
+            # grads (their columns keep the binit zeros), exactly.
+            maxcnt = jnp.max(count_ref[...])
+            for s0 in range(0, block_size, g):
+                active = (
+                    (lo < s0 + g) & (hi > s0) & (base_pos + s0 < maxcnt)
+                )
+
+                @pl.when(active)
+                def _(s0=s0):
+                    sub = jax.tree_util.tree_map(
+                        lambda f: f[s0 : s0 + g], entries
+                    )
+                    state = BackwardState(
+                        transmittance=trans_ref[...],
+                        grad_prefix=prefix_ref[...],
+                    )
+                    new_state, grads = backward_batch(
+                        state, sub, pix_x, pix_y, base_pos + s0,
+                        grad_ref[...], gdotc_ref[...], count_ref[...],
+                        mask[s0 : s0 + g],
+                    )
+                    trans_ref[...] = new_state.transmittance
+                    prefix_ref[...] = new_state.grad_prefix
+                    lane_row = (
+                        jax.lax.broadcasted_iota(jnp.int32, (1, g), 1) + s0
+                    )
+                    mask_row = (lane_row >= lo) & (lane_row < hi)
+                    out_ref[:, s0 : s0 + g] = jnp.where(
+                        mask_row,
+                        grads_to_rows(grads, packed),
+                        out_ref[:, s0 : s0 + g],
+                    )
+            return
+
         state = BackwardState(
             transmittance=trans_ref[...], grad_prefix=prefix_ref[...]
         )

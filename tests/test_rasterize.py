@@ -365,6 +365,28 @@ def test_gradients_match_finite_differences():
     assert checked == 10
 
 
+def test_group_skip_interpret_matches(monkeypatch):
+    """GAUSPLAT_GROUP_SKIP + BLEND_GROUP: the group-skipping kernels must
+    match the ungrouped XLA fallback exactly (skipped groups are all-masked
+    no-ops; the chained sub-group states recompose the window blend)."""
+    pytest.importorskip("jax.experimental.pallas")
+    from gausplat_tpu.ops import rasterize
+
+    monkeypatch.setattr(rasterize, "GROUP_SKIP", 1)
+    monkeypatch.setattr(rasterize, "BLEND_GROUP", 16)
+    test_pallas_interpret_matches_xla()
+
+
+def test_exp2_density_matches_oracle(monkeypatch):
+    """GAUSPLAT_EXP2 (exp2 density with per-entry conic pre-scale) stays
+    within the oracle tolerances forward and backward (ULP-level change)."""
+    from gausplat_tpu.ops import blend
+
+    monkeypatch.setattr(blend, "EXP2_DENSITY", 1)
+    test_forward_matches_oracle()
+    test_backward_matches_oracle()
+
+
 def test_half_mask_forward_interpret_matches(monkeypatch):
     """GAUSPLAT_HALF_MASK sub-tile done-masking is exact: the forward
     kernel with per-half compute skips matches the XLA fallback (the skip
