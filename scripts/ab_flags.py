@@ -1,0 +1,110 @@
+"""On-chip A/B driver for the opt-in kernel flags.
+
+Runs ``bench.py`` (primary tier only) under a matrix of env-flag configs,
+serially (the host has one core; XLA compiles serialize), appending one
+JSON line per config to ``PERF_AB.jsonl``. Designed for the hosted-TPU
+tunnel: per-config subprocess timeout, partial results preserved, the
+baseline config runs first (it doubles as the driver-bench cache pre-warm).
+
+Usage:  python scripts/ab_flags.py [--timeout 900] [--configs a,b,...]
+
+Flag configs (kernel variants are env-selected at module import, hence the
+subprocess-per-config structure):
+- base:        round-3 defaults (tight culling on, sort-free reduce)
+- exp2:        GAUSPLAT_EXP2=1 (exp2 density, per-entry conic pre-scale)
+- gs32/gs16:   GAUSPLAT_GROUP_SKIP=1 with BLEND_GROUP 32/16
+- exp2_gs32:   both combined
+- half:        GAUSPLAT_HALF_MASK=1 (sub-tile done-masking)
+- heavy_*:     the garden-class heavy tier for the winning flags
+"""
+
+import argparse
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+CONFIGS = {
+    "base": {},
+    "gs32": {"GAUSPLAT_GROUP_SKIP": "1", "GAUSPLAT_BLEND_GROUP": "32"},
+    "exp2": {"GAUSPLAT_EXP2": "1"},
+    "exp2_gs32": {
+        "GAUSPLAT_EXP2": "1",
+        "GAUSPLAT_GROUP_SKIP": "1",
+        "GAUSPLAT_BLEND_GROUP": "32",
+    },
+    "gs16": {"GAUSPLAT_GROUP_SKIP": "1", "GAUSPLAT_BLEND_GROUP": "16"},
+    "mxu": {"GAUSPLAT_MXU": "1"},
+    "all": {
+        "GAUSPLAT_EXP2": "1",
+        "GAUSPLAT_GROUP_SKIP": "1",
+        "GAUSPLAT_BLEND_GROUP": "32",
+        "GAUSPLAT_MXU": "1",
+    },
+    "half": {"GAUSPLAT_HALF_MASK": "1"},
+    "heavy_base": {"BENCH_TIERS": "primary,heavy"},
+    "heavy_exp2_gs32": {
+        "GAUSPLAT_EXP2": "1",
+        "GAUSPLAT_GROUP_SKIP": "1",
+        "GAUSPLAT_BLEND_GROUP": "32",
+        "BENCH_TIERS": "primary,heavy",
+    },
+}
+
+
+def run_config(name: str, extra_env: dict, timeout_s: int) -> dict:
+    env = dict(os.environ)
+    env.setdefault("BENCH_TIERS", "primary")
+    env.setdefault("BENCH_BUDGET_S", str(max(timeout_s - 60, 120)))
+    env.update(extra_env)
+    t0 = time.time()
+    rec = {"config": name, "env": extra_env}
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(ROOT / "bench.py")],
+            cwd=ROOT,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+        rec["rc"] = proc.returncode
+        line = next(
+            (l for l in proc.stdout.splitlines() if l.startswith("{")), None
+        )
+        rec["bench"] = json.loads(line) if line else None
+        if rec["bench"] is None:
+            rec["stderr_tail"] = proc.stderr.splitlines()[-4:]
+    except subprocess.TimeoutExpired:
+        rec["rc"] = "timeout"
+        rec["bench"] = None
+    rec["elapsed_s"] = round(time.time() - t0, 1)
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--timeout", type=int, default=900)
+    ap.add_argument("--configs", type=str, default=",".join(CONFIGS))
+    ap.add_argument("--out", type=str, default=str(ROOT / "PERF_AB.jsonl"))
+    args = ap.parse_args()
+
+    for name in args.configs.split(","):
+        if name not in CONFIGS:
+            print(f"unknown config {name!r}", file=sys.stderr)
+            continue
+        print(f"=== {name} ===", file=sys.stderr, flush=True)
+        rec = run_config(name, CONFIGS[name], args.timeout)
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        val = (rec["bench"] or {}).get("value")
+        print(f"  -> {val} ms (rc={rec['rc']}, {rec['elapsed_s']}s)",
+              file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -50,6 +50,9 @@ from gausplat_tpu.ops.rasterize import (
 )
 
 
+GROUP = int(os.environ.get("PAIRS_GROUP", 32))
+
+
 def _count(points, width, height, scale, capacity, block, tight):
     scene, camera = _make_inputs(points, width, height, scale)
     tcx = -(-width // TILE_SIZE_X)
@@ -84,11 +87,12 @@ def _count(points, width, height, scale, capacity, block, tight):
             jnp.zeros((num_tiles, PIXELS_PER_TILE), jnp.bool_),
             jnp.zeros((num_tiles, PIXELS_PER_TILE), jnp.int32),
             jnp.int32(0),
+            jnp.int32(0),
         )
         rows = stream.entry_data.shape[0]
 
         def step(carry, xs):
-            trans, done, count, executed = carry
+            trans, done, count, executed, groups = carry
             sid, tile, sblk, r0, r1, first = xs
             blk = jax.lax.dynamic_slice(
                 stream.entry_data, (0, sblk * block), (rows, block)
@@ -118,6 +122,13 @@ def _count(points, width, height, scale, capacity, block, tight):
             real = sid < stream.meta[0]
             skip = (~real) | jnp.all(state.done) | (hi <= lo)
             executed = executed + jnp.where(skip, 0, 1).astype(jnp.int32)
+            # Groups of GROUP entries touched by the valid lane window —
+            # what the GAUSPLAT_GROUP_SKIP kernel would execute (upper
+            # bound: intra-window done transitions ignored).
+            n_groups = jnp.where(
+                skip, 0, (hi - 1) // GROUP - lo // GROUP + 1
+            ).astype(jnp.int32)
+            groups = groups + n_groups
             new = forward_batch(state, entries, pix_x, pix_y, base_pos, mask)
             trans = jax.lax.dynamic_update_slice(
                 trans, new.transmittance, (tile, 0)
@@ -126,10 +137,10 @@ def _count(points, width, height, scale, capacity, block, tight):
             count = jax.lax.dynamic_update_slice(
                 count, new.rendered_count, (tile, 0)
             )
-            return (trans, done, count, executed), None
+            return (trans, done, count, executed, groups), None
 
         sids = jnp.arange(stream.step_tile.shape[0], dtype=jnp.int32)
-        (_, _, _, executed), _ = jax.lax.scan(
+        (_, _, _, executed, groups), _ = jax.lax.scan(
             step,
             init,
             (sids, stream.step_tile, stream.step_block, stream.step_r0,
@@ -140,9 +151,9 @@ def _count(points, width, height, scale, capacity, block, tight):
                 jnp.int32
             )
         )
-        return binning.total, stream.meta[0], executed, nonempty
+        return binning.total, stream.meta[0], executed, nonempty, groups
 
-    total, steps, executed, nonempty = go(
+    total, steps, executed, nonempty, groups = go(
         scene.colors_sh, scene.opacities, scene.positions,
         scene.rotations, scene.scalings,
     )
@@ -156,6 +167,7 @@ def _count(points, width, height, scale, capacity, block, tight):
         "true_pairs": entries * PIXELS_PER_TILE,
         "window_pairs": int(steps) * wp,
         "exec_pairs": int(executed) * wp,
+        "group_exec_pairs": int(groups) * GROUP * PIXELS_PER_TILE,
     }
 
 
@@ -187,6 +199,10 @@ def main():
     )
     out["early_exit_saving_on"] = round(
         1.0 - on["exec_pairs"] / max(on["window_pairs"], 1), 3
+    )
+    out["group"] = GROUP
+    out["group_skip_saving_on"] = round(
+        1.0 - on["group_exec_pairs"] / max(on["exec_pairs"], 1), 3
     )
     print(json.dumps(out), flush=True)
 
