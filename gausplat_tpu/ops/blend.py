@@ -188,6 +188,14 @@ import os as _os
 
 EXP2_DENSITY = int(_os.environ.get("GAUSPLAT_EXP2", "0"))
 
+#: MXU offload (GAUSPLAT_MXU=1): evaluate the three inner pair matmuls —
+#: forward color accumulation [3,B]x[B,N], backward <g, c_n> [B,3]x[3,N],
+#: and d_color [B,N]x[N,3] — as lax.dot_general so Mosaic places them on
+#: the (otherwise idle) MXU instead of the VPU, which is the roofline wall
+#: at ~45% of peak (PERF.md). Exact contraction, different summation order
+#: (ULP-level). Opt-in until the in-kernel lowering is verified on-chip.
+MXU_BLEND = int(_os.environ.get("GAUSPLAT_MXU", "0"))
+
 _NEG_HALF_LOG2E = np.float32(-0.5 * np.log2(np.e))
 
 
@@ -279,9 +287,19 @@ def forward_batch(
     )
     weight = jnp.where(blended, alpha * state.transmittance * prod_excl, f32(0.0))
 
-    color = state.color + jnp.stack(
-        [jnp.sum(weight * entries.color[:, c : c + 1], axis=0) for c in range(3)]
-    )
+    if MXU_BLEND:
+        # color^T [3, B] x weight [B, N] on the MXU (K = B contraction).
+        color = state.color + jax.lax.dot_general(
+            entries.color, weight, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        color = state.color + jnp.stack(
+            [
+                jnp.sum(weight * entries.color[:, c : c + 1], axis=0)
+                for c in range(3)
+            ]
+        )
     # New transmittance = the candidate at the last kept position (its min
     # over kept rows, by monotonicity), or unchanged if nothing was kept —
     # replaces a third cumulative product with one sublane min-reduction.
@@ -399,9 +417,16 @@ def backward_batch(
     weight = jnp.where(blended, alpha * t_n, f32(0.0))
 
     # <g, c_n> per (point, pixel).
-    g_dot_c = sum(
-        grad_color[c : c + 1, :] * entries.color[:, c : c + 1] for c in range(3)
-    )
+    if MXU_BLEND:
+        g_dot_c = jax.lax.dot_general(
+            entries.color, grad_color, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        g_dot_c = sum(
+            grad_color[c : c + 1, :] * entries.color[:, c : c + 1]
+            for c in range(3)
+        )
     grad_prefix_n = state.grad_prefix + cumsum_points(weight * g_dot_c)
     g_dot_behind = grad_dot_final - grad_prefix_n  # <g, S_n>
 
@@ -411,28 +436,52 @@ def backward_batch(
         blended, t_n * g_dot_c - g_dot_behind / one_minus, f32(0.0)
     )
 
-    d_density = entries.opacity * d_alpha
-    d_opacity = jnp.sum(density * d_alpha, axis=1, keepdims=True)  # [B, 1]
-
-    k = -density * d_density  # density_density_grad_n
+    # Factored gradient reductions (exact up to float reassociation):
+    # k = -density * d_density with d_density = opacity * d_alpha
+    # (rasterize_backward/kernel.wgsl:236-246); the conic is constant per
+    # entry, so d_pos = sum_pix k (C d) = C (sum_pix k d) — the per-pair
+    # conic contraction moves outside the reduction as a [B, 1] combine,
+    # and the exact 0.5 conic factors apply per entry. This cuts the
+    # per-pair chain from ~34 ops to ~19 (PERF.md roofline: the grad
+    # reductions were the largest backward block).
+    t0 = density * d_alpha
+    d_opacity = jnp.sum(t0, axis=1, keepdims=True)  # [B, 1]
+    k = t0 * (-entries.opacity)  # density_density_grad_n
+    t1 = k * dx
+    t2 = k * dy
+    s_x = jnp.sum(t1, axis=1, keepdims=True)  # [B, 1] sum k dx
+    s_y = jnp.sum(t2, axis=1, keepdims=True)
     d_conic = jnp.stack(
         [
-            jnp.sum(f32(0.5) * k * dx * dx, axis=1),
-            jnp.sum(k * dx * dy, axis=1),  # full xy cotangent
-            jnp.sum(f32(0.5) * k * dy * dy, axis=1),
+            f32(0.5) * jnp.sum(t1 * dx, axis=1),
+            jnp.sum(t1 * dy, axis=1),  # full xy cotangent
+            f32(0.5) * jnp.sum(t2 * dy, axis=1),
         ],
         axis=-1,
     )  # [B, 3]
-    cd_x = entries.conic_xx * dx + entries.conic_xy * dy
-    cd_y = entries.conic_xy * dx + entries.conic_yy * dy
-    d_pos = jnp.stack(
-        [jnp.sum(k * cd_x, axis=1), jnp.sum(k * cd_y, axis=1)], axis=-1
+    d_pos = jnp.concatenate(
+        [
+            entries.conic_xx * s_x + entries.conic_xy * s_y,
+            entries.conic_xy * s_x + entries.conic_yy * s_y,
+        ],
+        axis=-1,
     )  # [B, 2]
 
-    d_color = jnp.stack(
-        [jnp.sum(weight * grad_color[c : c + 1, :], axis=1) for c in range(3)],
-        axis=-1,
-    )  # [B, 3]
+    if MXU_BLEND:
+        # weight [B, N] x grad_color [3, N] contracted over pixels -> [B, 3]
+        # on the MXU (the VPU is the wall; K = 256 keeps the array busy).
+        d_color = jax.lax.dot_general(
+            weight, grad_color, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        d_color = jnp.stack(
+            [
+                jnp.sum(weight * grad_color[c : c + 1, :], axis=1)
+                for c in range(3)
+            ],
+            axis=-1,
+        )  # [B, 3]
 
     new_state = BackwardState(
         transmittance=state.transmittance * prod_incl[-1:],

@@ -19,8 +19,8 @@ exec >> "$LOG" 2>&1
 
 echo "=== chip session start $(date -u +%FT%TZ) ==="
 
-echo "--- stage 1: bench.py"
-timeout 1500 python bench.py > /tmp/bench_r03.json.tmp
+echo "--- stage 1: bench.py (cold compile: the cache has no round-3/4 executables)"
+BENCH_BUDGET_S=3000 timeout 3600 python bench.py > /tmp/bench_r03.json.tmp
 rc=$?
 echo "bench rc=$rc"
 if [ $rc -eq 0 ]; then

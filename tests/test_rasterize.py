@@ -377,6 +377,16 @@ def test_group_skip_interpret_matches(monkeypatch):
     test_pallas_interpret_matches_xla()
 
 
+def test_mxu_blend_matches_oracle(monkeypatch):
+    """GAUSPLAT_MXU (dot_general for the color contractions) matches the
+    oracle — same contractions, different summation order (ULP-level)."""
+    from gausplat_tpu.ops import blend
+
+    monkeypatch.setattr(blend, "MXU_BLEND", 1)
+    test_forward_matches_oracle()
+    test_backward_matches_oracle()
+
+
 def test_exp2_density_matches_oracle(monkeypatch):
     """GAUSPLAT_EXP2 (exp2 density with per-entry conic pre-scale) stays
     within the oracle tolerances forward and backward (ULP-level change)."""
