@@ -40,7 +40,7 @@ echo "prof_pairs rc=$?"
 cat /tmp/prof_pairs_headline.json 2>/dev/null
 
 echo "--- stage 4: train_long --full (background, ~4 h)"
-nohup timeout 21600 python scripts/train_long.py --full \
+nohup timeout 21600 python scripts/train_long.py 30000 /tmp/train_long_full.json --full \
   > /tmp/train_long_full.log 2>&1 &
 echo $! > /tmp/train_long.pid
 echo "train_long pid $(cat /tmp/train_long.pid)"

@@ -29,9 +29,11 @@ from gausplat_tpu import GaussianScene, Points, RenderOptions, View, render
 from gausplat_tpu.train import TrainConfig, Trainer
 
 args = [a for a in sys.argv[1:] if a != "--full"]
-iters = int(args[0]) if args else 10_000
+full = "--full" in sys.argv or (args and int(args[0]) >= 20_000)
+# --full alone means the config-4 analogue: the 30k schedule (densify to
+# 15k, opacity resets every 3k) is meaningless truncated at the 10k default.
+iters = int(args[0]) if args else (30_000 if full else 10_000)
 out_path = args[1] if len(args) > 1 else "/tmp/train_long.json"
-full = "--full" in sys.argv or iters >= 20_000
 size = 256
 opts = RenderOptions(tile_entry_capacity=1 << 17, block_size=256)
 rng = np.random.default_rng(0)
