@@ -39,6 +39,10 @@ PAIRS_CAPACITY=2359296 PAIRS_BLOCK=128 \
 echo "prof_pairs rc=$?"
 cat /tmp/prof_pairs_headline.json 2>/dev/null
 
+echo "--- stage 3.5: rasterize tests on the real chip (compiled Pallas path)"
+GAUSPLAT_TEST_TPU=1 timeout 2400 python -m pytest tests/test_rasterize.py -q -x
+echo "tpu rasterize tests rc=$?"
+
 echo "--- stage 4: train_long --full (background, ~4 h)"
 nohup timeout 21600 python scripts/train_long.py 30000 /tmp/train_long_full.json --full \
   > /tmp/train_long_full.log 2>&1 &
