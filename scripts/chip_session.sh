@@ -28,9 +28,11 @@ if [ $rc -eq 0 ]; then
   cat /tmp/bench_r03.json
 fi
 
-echo "--- stage 2: ab_flags.py"
-timeout 7200 python scripts/ab_flags.py --timeout 900 \
-  --configs gs32,exp2,mxu,all,gs16,half
+echo "--- stage 2: ab_flags.py (value order: the combined config answers the"
+echo "    decisive question first if the stage budget runs out; each config"
+echo "    is a fresh executable, so give compiles room)"
+timeout 9600 python scripts/ab_flags.py --timeout 1500 \
+  --configs all,gs32,exp2,mxu,half,gs16
 
 echo "--- stage 3: prof_pairs.py (bench workload)"
 PAIRS_POINTS=1000000 PAIRS_WIDTH=1920 PAIRS_HEIGHT=1080 \
