@@ -28,3 +28,22 @@ _cache_dir = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
 _cache_dir.mkdir(exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules.
+
+    The full suite compiles hundreds of CPU executables in one process
+    (~1.4 GB serialized); with all of them JIT-mapped at once, late large
+    compiles/cache-loads crash inside XLA's executable loader (observed:
+    SIGSEGV in backend_compile_and_load, SIGABRT in
+    get_executable_and_time, both at the suite's biggest program while the
+    same test passes in a fresh process). Dropping executable references
+    per module keeps the mapped-code footprint bounded; the persistent
+    disk cache makes the re-loads cheap.
+    """
+    yield
+    jax.clear_caches()
