@@ -46,6 +46,13 @@ CONFIGS = {
         "GAUSPLAT_MXU": "1",
     },
     "half": {"GAUSPLAT_HALF_MASK": "1"},
+    "allhalf": {
+        "GAUSPLAT_EXP2": "1",
+        "GAUSPLAT_GROUP_SKIP": "1",
+        "GAUSPLAT_BLEND_GROUP": "32",
+        "GAUSPLAT_MXU": "1",
+        "GAUSPLAT_HALF_MASK": "1",
+    },
     "heavy_base": {"BENCH_TIERS": "primary,heavy"},
     "heavy_exp2_gs32": {
         "GAUSPLAT_EXP2": "1",
