@@ -28,6 +28,7 @@ production point counts). All math is float32, matching the reference.
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from typing import NamedTuple, Optional
 
 import jax
@@ -48,6 +49,16 @@ _SH_C0 = tuple(float(c) for c in SH_COEF[0])
 _SH_C1 = tuple(float(c) for c in SH_COEF[1])
 _SH_C2 = tuple(float(c) for c in SH_COEF[2])
 _SH_C3 = tuple(float(c) for c in SH_COEF[3])
+
+#: SH coefficient layout experiment (GAUSPLAT_SH_T=1): transpose
+#: ``colors_sh`` to ``[48, P]`` once at projection entry and evaluate SH
+#: over [P] rows. The ``[P, 48]`` input pads its 48-wide lane dimension to
+#: 128 on TPU (2.7x HBM read blowup at production point counts; this
+#: module's docstring calls out exactly this class) and every per-m
+#: ``[P, 3]`` slice is a strided access; rows make every SH op a full-lane
+#: [P] elementwise op at the cost of one exact transpose. Same math
+#: bit-for-bit per coefficient; opt-in pending an on-chip stage A/B.
+SH_TRANSPOSED = int(_os.environ.get("GAUSPLAT_SH_T", "0"))
 
 
 @jax.tree_util.register_dataclass
@@ -200,6 +211,51 @@ def eval_sh(colors_sh: jax.Array, vx, vy, vz, degree: int):
         out = accum(out, 14, jnp.float32(_SH_C3[5]) * (vz * (xx - yy)))
         out = accum(out, 15, jnp.float32(_SH_C3[6]) * (vx * (xx - yy * 3.0)))
     return out[:, 0], out[:, 1], out[:, 2]
+
+
+def eval_sh_rows(rows: jax.Array, vx, vy, vz, degree: int):
+    """`eval_sh` over a ``[48, P]`` coefficient-row layout (GAUSPLAT_SH_T).
+
+    Channel-wise accumulation order matches :func:`eval_sh` exactly; only
+    the memory layout differs (full-lane [P] rows instead of strided
+    slices of a 48-wide padded array). Results agree to ULP level (XLA's
+    FMA fusion choices may differ between the two graphs).
+    """
+    f32 = jnp.float32
+    bases = []
+    if degree >= 1:
+        bases += [
+            (1, f32(_SH_C1[0]) * vy),
+            (2, f32(_SH_C1[1]) * vz),
+            (3, f32(_SH_C1[2]) * vx),
+        ]
+    if degree >= 2:
+        xx, yy, zz = vx * vx, vy * vy, vz * vz
+        bases += [
+            (4, f32(_SH_C2[0]) * (vx * vy)),
+            (5, f32(_SH_C2[1]) * (vy * vz)),
+            (6, f32(_SH_C2[2]) * (zz * 3.0 - 1.0)),
+            (7, f32(_SH_C2[3]) * (vx * vz)),
+            (8, f32(_SH_C2[4]) * (xx - yy)),
+        ]
+    if degree >= 3:
+        zz_5_1 = zz * 5.0 - 1.0
+        bases += [
+            (9, f32(_SH_C3[0]) * (vy * (xx * 3.0 - yy))),
+            (10, f32(_SH_C3[1]) * (vz * vx * vy)),
+            (11, f32(_SH_C3[2]) * (vy * zz_5_1)),
+            (12, f32(_SH_C3[3]) * (vz * (zz_5_1 - 2.0))),
+            (13, f32(_SH_C3[4]) * (vx * zz_5_1)),
+            (14, f32(_SH_C3[5]) * (vz * (xx - yy))),
+            (15, f32(_SH_C3[6]) * (vx * (xx - yy * 3.0))),
+        ]
+    out = []
+    for c in range(3):
+        acc = rows[c] * f32(_SH_C0[0])
+        for m, basis in bases:
+            acc = acc + rows[3 * m + c] * basis
+        out.append(acc)
+    return out[0], out[1], out[2]
 
 
 def project_gaussians(
@@ -408,7 +464,13 @@ def project_gaussians(
     vz = jnp.where(offset_ok, oz * inv_off, one)
 
     # SH -> RGB, +0.5 offset, clamp at zero with gradient mask (:336-392).
-    raw_r, raw_g, raw_b = eval_sh(colors_sh, vx, vy, vz, sh_degree)
+    if SH_TRANSPOSED:
+        # One exact transpose to [48, P]; the barrier keeps XLA from
+        # fusing it away into 48 strided reads of the padded [P, 48].
+        sh_rows = jax.lax.optimization_barrier(colors_sh.T)
+        raw_r, raw_g, raw_b = eval_sh_rows(sh_rows, vx, vy, vz, sh_degree)
+    else:
+        raw_r, raw_g, raw_b = eval_sh(colors_sh, vx, vy, vz, sh_degree)
     visible = depth_ok & quat_ok & det_ok & tiles_ok & offset_ok
     vis_f = visible.astype(jnp.float32)
 

@@ -179,3 +179,54 @@ def test_quat_to_rotmat_orthonormal():
     eye = np.einsum("pij,pkj->pik", r, r)
     np.testing.assert_allclose(eye, np.tile(np.eye(3), (10, 1, 1)), atol=1e-5)
     np.testing.assert_allclose(np.linalg.det(r), 1.0, atol=1e-5)
+
+
+def test_sh_transposed_bit_identical(monkeypatch):
+    """GAUSPLAT_SH_T ([48, P] coefficient rows) matches the [P, 48] path
+    forward AND backward to ULP level (the math and per-channel
+    accumulation order are identical; XLA's FMA fusion choices differ
+    between the two graphs, so exact bit-identity is not guaranteed)."""
+    from gausplat_tpu.ops import projection
+
+    cam, _ = _camera()
+    rng = np.random.default_rng(11)
+    p = 33
+    args = (
+        jnp.asarray(rng.standard_normal((p, 48)) * 0.3, jnp.float32),
+        jnp.asarray(rng.random((p, 3)) * 2 - 1, jnp.float32),
+        jnp.asarray(rng.standard_normal((p, 4)), jnp.float32),
+        jnp.asarray(np.log(0.02 + 0.05 * rng.random((p, 3))), jnp.float32),
+    )
+
+    def run(csh, pos, quat, scal):
+        out = project_gaussians(
+            csh, pos, quat, scal, cam,
+            sh_degree=3, tile_count_x=4, tile_count_y=3,
+        )
+        return out
+
+    def loss(*a):
+        o = run(*a)
+        return (
+            jnp.sum(o.colors_rgb_3d**2)
+            + jnp.sum(o.conics)
+            + jnp.sum(o.positions_2d)
+        )
+
+    base_out = jax.jit(run)(*args)
+    base_grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(*args)
+
+    monkeypatch.setattr(projection, "SH_TRANSPOSED", 1)
+    t_out = jax.jit(run)(*args)
+    t_grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(*args)
+
+    for a, b in zip(base_out, t_out):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b, np.float64),
+            rtol=1e-6, atol=1e-6,
+        )
+    for a, b in zip(base_grads, t_grads):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b, np.float64),
+            rtol=1e-6, atol=1e-6,
+        )
