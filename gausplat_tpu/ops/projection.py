@@ -60,6 +60,13 @@ _SH_C3 = tuple(float(c) for c in SH_COEF[3])
 #: bit-for-bit per coefficient; opt-in pending an on-chip stage A/B.
 SH_TRANSPOSED = int(_os.environ.get("GAUSPLAT_SH_T", "0"))
 
+#: Companion experiment (GAUSPLAT_POS_T=1): transpose the narrow [P, 3/4]
+#: projection inputs (positions, rotations, scalings, opacities) to
+#: component rows at entry. Their lane padding is proportionally worse
+#: (3 -> 128), but the absolute volume is 16x smaller than colors_sh —
+#: a separate flag so the on-chip A/B can attribute the effect.
+POS_TRANSPOSED = int(_os.environ.get("GAUSPLAT_POS_T", "0"))
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -304,7 +311,19 @@ def project_gaussians(
     fx, fy = camera.focal_length[0], camera.focal_length[1]
     bx, by = camera.view_bound[0], camera.view_bound[1]
 
-    px, py, pz = positions[:, 0], positions[:, 1], positions[:, 2]
+    if POS_TRANSPOSED:
+        # One exact transpose each to component rows (see POS_TRANSPOSED);
+        # barriers keep the transposes materialized.
+        positions = jax.lax.optimization_barrier(positions.T)
+        rotations = jax.lax.optimization_barrier(rotations.T)
+        scalings = jax.lax.optimization_barrier(scalings.T)
+        if opacities is not None:
+            opacities = jax.lax.optimization_barrier(opacities.T)
+        comp = lambda a, k: a[k]  # noqa: E731
+    else:
+        comp = lambda a, k: a[:, k]  # noqa: E731
+
+    px, py, pz = comp(positions, 0), comp(positions, 1), comp(positions, 2)
 
     # World -> view (transform/kernel.wgsl:134-146).
     pv_x = rv[0, 0] * px + rv[0, 1] * py + rv[0, 2] * pz + tv[0]
@@ -315,7 +334,8 @@ def project_gaussians(
 
     # Quaternion -> rotation matrix, with zero-quaternion cull (:148-169).
     qx, qy, qz, qw = (
-        rotations[:, 0], rotations[:, 1], rotations[:, 2], rotations[:, 3],
+        comp(rotations, 0), comp(rotations, 1),
+        comp(rotations, 2), comp(rotations, 3),
     )
     quat_norm_sq = qx * qx + qy * qy + qz * qz + qw * qw
     quat_ok = quat_norm_sq > f32(0.0)
@@ -326,9 +346,9 @@ def project_gaussians(
 
     # 3D covariance Sigma = R diag(s^2) R^T, symmetric 6 components
     # (:171-199). s = exp(inner scaling).
-    s0 = jnp.exp(scalings[:, 0])
-    s1 = jnp.exp(scalings[:, 1])
-    s2 = jnp.exp(scalings[:, 2])
+    s0 = jnp.exp(comp(scalings, 0))
+    s1 = jnp.exp(comp(scalings, 1))
+    s2 = jnp.exp(comp(scalings, 2))
     v0, v1, v2 = s0 * s0, s1 * s1, s2 * s2
 
     def sigma(i, j):
@@ -415,7 +435,7 @@ def project_gaussians(
 
     if tight_culling and opacities is not None:
         sg = jax.lax.stop_gradient
-        op = jax.nn.sigmoid(sg(opacities[:, 0]))
+        op = jax.nn.sigmoid(sg(comp(opacities, 0)))
         # 2L = 2 ln(255 * opacity); <= 0 means alpha < 1/255 everywhere.
         ll2 = f32(2.0) * jnp.log(jnp.maximum(op, f32(1e-12)) * f32(255.0))
         alive = ll2 > f32(0.0)

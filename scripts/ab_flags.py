@@ -40,6 +40,7 @@ CONFIGS = {
     "gs16": {"GAUSPLAT_GROUP_SKIP": "1", "GAUSPLAT_BLEND_GROUP": "16"},
     "mxu": {"GAUSPLAT_MXU": "1"},
     "sht": {"GAUSPLAT_SH_T": "1"},
+    "projt": {"GAUSPLAT_SH_T": "1", "GAUSPLAT_POS_T": "1"},
     "all": {
         "GAUSPLAT_EXP2": "1",
         "GAUSPLAT_GROUP_SKIP": "1",

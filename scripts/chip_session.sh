@@ -32,7 +32,7 @@ echo "--- stage 2: ab_flags.py (value order: the combined config answers the"
 echo "    decisive question first if the stage budget runs out; each config"
 echo "    is a fresh executable, so give compiles room)"
 timeout 11500 python scripts/ab_flags.py --timeout 1500 \
-  --configs all,gs32,exp2,mxu,sht,half,gs16
+  --configs all,gs32,exp2,mxu,projt,sht,half,gs16
 
 echo "--- stage 3: prof_pairs.py (bench workload)"
 PAIRS_POINTS=1000000 PAIRS_WIDTH=1920 PAIRS_HEIGHT=1080 \

@@ -230,3 +230,44 @@ def test_sh_transposed_bit_identical(monkeypatch):
             np.asarray(a, np.float64), np.asarray(b, np.float64),
             rtol=1e-6, atol=1e-6,
         )
+
+
+def test_pos_transposed_matches(monkeypatch):
+    """GAUSPLAT_POS_T (component-row positions/rotations/scalings/opacities)
+    matches the default path to ULP level, alone and combined with SH_T,
+    including the tight-culling integer outputs (which must be exact)."""
+    from gausplat_tpu.ops import projection
+
+    cam, _ = _camera()
+    rng = np.random.default_rng(12)
+    p = 29
+    csh = jnp.asarray(rng.standard_normal((p, 48)) * 0.3, jnp.float32)
+    pos = jnp.asarray(rng.random((p, 3)) * 2 - 1, jnp.float32)
+    quat = jnp.asarray(rng.standard_normal((p, 4)), jnp.float32)
+    scal = jnp.asarray(np.log(0.02 + 0.05 * rng.random((p, 3))), jnp.float32)
+    opac = jnp.asarray(rng.standard_normal((p, 1)), jnp.float32)
+
+    def run():
+        return project_gaussians(
+            csh, pos, quat, scal, cam,
+            sh_degree=3, tile_count_x=4, tile_count_y=3,
+            opacities=opac, tight_culling=True,
+        )
+
+    base = jax.jit(run)()
+    for flags in ({"POS_TRANSPOSED": 1},
+                  {"POS_TRANSPOSED": 1, "SH_TRANSPOSED": 1}):
+        for name, val in flags.items():
+            monkeypatch.setattr(projection, name, val)
+        out = jax.jit(run)()
+        for a, b in zip(base, out):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.dtype in (np.int32, np.bool_):
+                np.testing.assert_array_equal(a, b)
+            else:
+                np.testing.assert_allclose(
+                    a.astype(np.float64), b.astype(np.float64),
+                    rtol=1e-6, atol=1e-6,
+                )
+        for name in flags:
+            monkeypatch.setattr(projection, name, 0)
