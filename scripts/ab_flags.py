@@ -38,6 +38,15 @@ CONFIGS = {
         "GAUSPLAT_BLEND_GROUP": "32",
     },
     "gs16": {"GAUSPLAT_GROUP_SKIP": "1", "GAUSPLAT_BLEND_GROUP": "16"},
+    "gs64": {"GAUSPLAT_GROUP_SKIP": "1", "GAUSPLAT_BLEND_GROUP": "64"},
+    # B=256 revisited with group-skip (round-2 refuted plain B=256; the
+    # skip predicates + shorter round-3 state change the tradeoff — half
+    # the steps, same group-level pair waste as gs32 at B=128).
+    "b256_gs32": {
+        "BENCH_BLOCK": "256",
+        "GAUSPLAT_GROUP_SKIP": "1",
+        "GAUSPLAT_BLEND_GROUP": "32",
+    },
     "mxu": {"GAUSPLAT_MXU": "1"},
     "sht": {"GAUSPLAT_SH_T": "1"},
     "projt": {"GAUSPLAT_SH_T": "1", "GAUSPLAT_POS_T": "1"},
