@@ -25,6 +25,8 @@ P = int(os.environ.get("PROF_POINTS", 1_000_000))
 CAP = int(os.environ.get("PROF_CAP", 4_194_304))
 B = int(os.environ.get("PROF_BLOCK", 256))
 PACKED = os.environ.get("PROF_PACKED", "0") == "1"
+# Interpret-mode Pallas (CPU smoke runs only; timings are meaningless).
+INTERPRET = os.environ.get("PROF_INTERPRET", "0") == "1"
 W, H, TCX, TCY = 1920, 1080, 120, 68
 scene, cam = _make_inputs(P, W, H)
 gimg = jnp.zeros((TCY * TCX, 3, 256), jnp.float32)
@@ -42,7 +44,7 @@ def run(pos, i, stage):
         proj.tile_counts, tile_count_x=TCX, capacity=CAP)
     acc = acc + keys[-1].astype(jnp.float32) + src[-1].astype(jnp.float32)
     if stage < 2: return acc
-    sk, sv, _ = sort_entries(keys, src)
+    sk, sv, reduce_perm = sort_entries(keys, src)
     acc = acc + sk[-1].astype(jnp.float32) + sv[-1].astype(jnp.float32)
     if stage < 3: return acc
     ranges = tile_ranges_from_keys(sk, total, num_tiles=TCX * TCY)
@@ -54,20 +56,27 @@ def run(pos, i, stage):
         + stream.step_block[-1].astype(jnp.float32)
     if stage < 5: return acc
     it, tt, ct = rasterize_forward_pallas(
-        stream, num_tiles=TCX * TCY, tile_count_x=TCX)
+        stream, num_tiles=TCX * TCY, tile_count_x=TCX, interpret=INTERPRET)
     acc = acc + it.sum()
     if stage < 6: return acc
     gdotc = jnp.sum(gimg * it, axis=1)
-    eg = rasterize_backward_pallas(stream, gimg, gdotc, ct, tile_count_x=TCX)
+    eg = rasterize_backward_pallas(
+        stream, gimg, gdotc, ct, tile_count_x=TCX, interpret=INTERPRET)
     acc = acc + eg[0].sum().astype(jnp.float32)
     if stage < 7: return acc
-    valid = jnp.arange(CAP, dtype=jnp.int32) < jnp.minimum(total, jnp.int32(CAP))
+    # Mirror the pipeline's round-3 default reduce (pipeline._render_bwd):
+    # gather the grad rows through the forward-computed inverse sort
+    # permutation back to expansion (= point-grouped) order, then tiled
+    # prefix sums differenced at span ends. The inverse-perm int sorts live
+    # in the forward pass there; here they are only consumed at this stage,
+    # so this stage's delta charges the WHOLE reduce machinery (sorts +
+    # gather + prefix) — an upper bound on its in-chain cost.
+    valid_count = jnp.minimum(total, jnp.int32(CAP))
+    valid = jnp.arange(CAP, dtype=jnp.int32) < valid_count
     eg = jnp.where(valid[None, :], eg, 0)
-    sorted_ops = jax.lax.sort(
-        (stream.entry_point,) + tuple(eg[c] for c in range(eg.shape[0])),
-        dimension=0, is_stable=True, num_keys=1)
-    comps = grad_rows_to_components(sorted_ops[1:], PACKED)
-    hi_idx = jnp.minimum(offsets_inc, jnp.minimum(total, jnp.int32(CAP))) - 1
+    grads_presort = jnp.take(eg, reduce_perm, axis=1)
+    comps = grad_rows_to_components(grads_presort, PACKED)
+    hi_idx = jnp.minimum(offsets_inc, valid_count) - 1
     for gu in comps:
         cs = prefix_sum(gu)
         hi = jnp.where(hi_idx >= 0, cs[jnp.maximum(hi_idx, 0)], 0.0)

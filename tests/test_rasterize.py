@@ -51,7 +51,7 @@ def _view():
     )
 
 
-def _forward_pieces(seed=3):
+def _forward_pieces(seed=3, block=B):
     csh, positions, rotations, scalings, op_inner = _scene_arrays(seed)
     cam = Camera.from_view(_view())
     proj = project_gaussians(
@@ -76,7 +76,7 @@ def _forward_pieces(seed=3):
     )
     pd_t = pack_point_data(proj, jax.nn.sigmoid(jnp.asarray(op_inner[:, 0])))
     stream = build_entry_stream(
-        pd_t, binning.point_indices, binning.tile_ranges, block_size=B
+        pd_t, binning.point_indices, binning.tile_ranges, block_size=block
     )
     # AoS [P, 9] view for the NumPy oracle.
     pd = np.asarray(pd_t).T[:P]
@@ -174,7 +174,7 @@ def test_custom_vjp_matches_autodiff():
         np.testing.assert_allclose(b / scale, a / scale, atol=1e-5, err_msg=name)
 
 
-def test_pallas_interpret_matches_xla():
+def test_pallas_interpret_matches_xla(block=B):
     """Pallas kernels (interpreter mode on CPU) vs the XLA fallback."""
     pytest.importorskip("jax.experimental.pallas")
     from gausplat_tpu.ops.rasterize import (
@@ -184,7 +184,7 @@ def test_pallas_interpret_matches_xla():
 
     from gausplat_tpu.ops.rasterize import mask_empty_tiles
 
-    pd, binning, stream = _forward_pieces()
+    pd, binning, stream = _forward_pieces(block=block)
     it_x, tt_x, ct_x = rasterize_forward_xla(
         stream, num_tiles=TCX * TCY, tile_count_x=TCX
     )
@@ -375,6 +375,18 @@ def test_group_skip_interpret_matches(monkeypatch):
     monkeypatch.setattr(rasterize, "GROUP_SKIP", 1)
     monkeypatch.setattr(rasterize, "BLEND_GROUP", 16)
     test_pallas_interpret_matches_xla()
+
+
+def test_group_skip_64_block_128_matches(monkeypatch):
+    """The gs64 / b256_gs32 chip A/B configs' code path: multiple 64-entry
+    sub-groups per window (group < block), with group-level skip predicates
+    active across window boundaries."""
+    pytest.importorskip("jax.experimental.pallas")
+    from gausplat_tpu.ops import rasterize
+
+    monkeypatch.setattr(rasterize, "GROUP_SKIP", 1)
+    monkeypatch.setattr(rasterize, "BLEND_GROUP", 64)
+    test_pallas_interpret_matches_xla(block=128)
 
 
 def test_mxu_blend_matches_oracle(monkeypatch):
