@@ -32,12 +32,21 @@ Timing is amortized inside a single compiled chain (the hosted TPU tunnel
 adds tens of ms of RPC latency per dispatch, which would otherwise
 dominate), perturbing POSITIONS per step so no pipeline stage can be
 hoisted out of the chain.
+
+Tunnel-down fallback: when the hosted TPU tunnel is unreachable
+(jax.devices() hangs forever — it did for the back half of round 3), a
+subprocess probe with a hard timeout detects it and the script emits the
+most recent successful on-chip result from BENCH_LAST_TPU.json, explicitly
+flagged ``"stale": true`` with the measurement date and reason — a
+transparent, parseable record instead of the round-2 rc=124/no-output
+failure. Every successful TPU run refreshes the snapshot.
 """
 
 import json
 import os
 import pathlib
 import signal
+import subprocess
 import sys
 import time
 
@@ -46,6 +55,8 @@ import numpy as np
 BASELINE_MS = 10.0
 T_START = time.time()
 RESULT = {}
+REPO = pathlib.Path(__file__).resolve().parent
+LAST_TPU_SNAPSHOT = REPO / "BENCH_LAST_TPU.json"
 
 
 def _progress(msg):
@@ -58,6 +69,39 @@ def _emit_and_exit(signum=None, frame=None):
         print(json.dumps(RESULT), flush=True)
         sys.exit(0)
     sys.exit(1)
+
+
+def _probe_platform(timeout_s=150):
+    """Resolve the default JAX platform in a SUBPROCESS with a hard timeout.
+
+    jax.devices() blocks forever while the hosted TPU tunnel is down, so the
+    hang-prone call must live in a killable child. Returns the platform name
+    ('tpu', 'cpu', ...) or None if the probe timed out / crashed.
+    """
+    code = "import jax; print(jax.devices()[0].platform, flush=True)"
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    lines = [l.strip() for l in out.stdout.splitlines() if l.strip()]
+    return lines[-1] if out.returncode == 0 and lines else None
+
+
+def _emit_stale_snapshot(reason):
+    """Tunnel down: emit the last successful on-chip result, flagged stale."""
+    if not LAST_TPU_SNAPSHOT.exists():
+        _progress(f"no {LAST_TPU_SNAPSHOT.name}; nothing to emit ({reason})")
+        sys.exit(1)
+    snap = json.loads(LAST_TPU_SNAPSHOT.read_text())
+    snap["stale"] = True
+    snap["stale_reason"] = reason
+    print(json.dumps(snap), flush=True)
+    sys.exit(0)
 
 
 def _setup_jax():
@@ -189,28 +233,32 @@ def main():
     signal.signal(signal.SIGINT, _emit_and_exit)
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 480))
 
+    # Probe the device in a killable subprocess FIRST: jax.devices() blocks
+    # forever while the hosted TPU tunnel is down (it did for hours in
+    # round 3), which is what turned the round-2 driver run into rc=124
+    # with no output. If the platform is unreachable or not a TPU, emit the
+    # last on-chip result flagged stale instead of hanging.
+    platform = None
+    if not int(os.environ.get("BENCH_SKIP_PROBE", "0")):
+        _progress("probing device platform (150 s limit)")
+        platform = _probe_platform()
+        _progress(f"probe: platform={platform}")
+        if platform != "tpu" and not int(os.environ.get("BENCH_ALLOW_CPU", "0")):
+            reason = (
+                "TPU tunnel unreachable at bench time (device probe timed out)"
+                if platform is None
+                else f"no TPU available at bench time (platform={platform})"
+            )
+            _emit_stale_snapshot(reason)
+
     _progress("importing jax")
     jax = _setup_jax()
-
-    # Device-init watchdog: the hosted TPU tunnel can go down for hours
-    # (round 3), in which case jax.devices() blocks forever and a driver
-    # `timeout N python bench.py` dies with no output. Name the cause on
-    # stderr so the timeout is attributable to infra, not the engine.
-    import threading
-
-    devices_ok = threading.Event()
-
-    def _watchdog():
-        if not devices_ok.wait(150):
-            _progress(
-                "WARNING: jax.devices() has not returned after 150 s — the "
-                "TPU tunnel is likely down; this run will produce no JSON. "
-                "Infra failure, not an engine failure."
-            )
-
-    threading.Thread(target=_watchdog, daemon=True).start()
+    if platform != "tpu" and int(os.environ.get("BENCH_ALLOW_CPU", "0")):
+        # CPU dev run (BENCH_ALLOW_CPU=1): pin the platform so backend init
+        # cannot touch the (possibly hung) tunnel. Env JAX_PLATFORMS is
+        # overridden by the axon plugin; the config knob is not.
+        jax.config.update("jax_platforms", platform or "cpu")
     _progress(f"devices: {jax.devices()}")
-    devices_ok.set()
 
     point_count = int(os.environ.get("BENCH_POINTS", 1_000_000))
     width = int(os.environ.get("BENCH_WIDTH", 1920))
@@ -267,6 +315,11 @@ def main():
             RESULT["heavy_entries_per_visible"] = hstats["entries_per_visible"]
     except Exception as e:  # secondary tiers must never kill the headline
         _progress(f"secondary tier failed: {e!r}")
+
+    if jax.devices()[0].platform == "tpu":
+        snap = dict(RESULT)
+        snap["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        LAST_TPU_SNAPSHOT.write_text(json.dumps(snap) + "\n")
 
     print(json.dumps(RESULT), flush=True)
 
