@@ -196,13 +196,85 @@ EXP2_DENSITY = int(_os.environ.get("GAUSPLAT_EXP2", "0"))
 #: (ULP-level). Opt-in until the in-kernel lowering is verified on-chip.
 MXU_BLEND = int(_os.environ.get("GAUSPLAT_MXU", "0"))
 
+#: Quadratic-form-as-matmul (GAUSPLAT_QUADM=1): the per-(entry, pixel)
+#: density exponent ``s*(cxx dx^2 + 2 cxy dx dy + cyy dy^2)`` is bilinear in
+#: a per-entry 6-vector and the per-pixel monomial basis
+#: ``[1, px, py, px^2, px*py, py^2]`` — one [B, 6] x [6, N] dot_general on
+#: the MXU replaces the ~9 per-pair VPU ops of the expanded quad (forward),
+#: and the backward's six per-entry gradient row-reductions collapse to one
+#: [B, N] x [N, 6] moment matmul plus [B, 1] combines (the reference
+#: accumulates these per-thread at rasterize_backward/kernel.wgsl:236-269).
+#: All coordinates are shifted to the window's first pixel (tile-local
+#: frame), which bounds every monomial by O(tile + blendable radius) — the
+#: conic scales as 1/sigma^2, so the expanded terms stay O(10) and the
+#: classic expansion cancellation never materializes. The scaled exponent is
+#: clamped to <= 0 (exact-math invariant of a PSD conic), replacing the
+#: default path's ``density <= 1`` guard. Opt-in pending on-chip A/B.
+QUAD_MATMUL = int(_os.environ.get("GAUSPLAT_QUADM", "0"))
+
+#: Matmul precision for the QUADM dots: "highest" (3-pass bf16 = full f32,
+#: default — the A/B oracle tolerances need it) or "default" (single-pass
+#: bf16, ~2x less MXU time; fine for training-loop gradients).
+QUADM_PRECISION = _os.environ.get("GAUSPLAT_QUADM_PRECISION", "highest")
+
 _NEG_HALF_LOG2E = np.float32(-0.5 * np.log2(np.e))
+
+
+def _quadm_dot(a: jax.Array, b: jax.Array, dims) -> jax.Array:
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if QUADM_PRECISION == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())), precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _local_frame(entries: EntryBlock, pix_x: jax.Array, pix_y: jax.Array):
+    """Shift pixel + entry coordinates to the window's first pixel."""
+    x0, y0 = pix_x[:, :1], pix_y[:, :1]
+    return (
+        pix_x - x0, pix_y - y0,  # [1, N]
+        entries.pos_x - x0, entries.pos_y - y0,  # [B, 1]
+    )
+
+
+def _pixel_monomials(px: jax.Array, py: jax.Array) -> jax.Array:
+    """[6, N] basis (1, px, py, px^2, px*py, py^2) in the local frame."""
+    return jnp.concatenate(
+        [jnp.ones_like(px), px, py, px * px, px * py, py * py], axis=0
+    )
 
 
 def density_terms(entries: EntryBlock, pix_x: jax.Array, pix_y: jax.Array):
     """Common density/alpha terms. ``pix_*``: [1, N]. Returns [B, N] arrays
-    (dx, dy, density, alpha, blendable)."""
+    (dx, dy, density, alpha, blendable). Under QUAD_MATMUL the density comes
+    from one MXU dot and dx/dy are not materialized (returned as None — the
+    backward uses the moment-matmul path instead)."""
     f32 = jnp.float32
+    if QUAD_MATMUL:
+        px, py, xe, ye = _local_frame(entries, pix_x, pix_y)
+        cxx, cxy, cyy = entries.conic_xx, entries.conic_xy, entries.conic_yy
+        s = _NEG_HALF_LOG2E if EXP2_DENSITY else f32(-0.5)
+        u = jnp.concatenate(
+            [
+                (cxx * xe * xe + f32(2.0) * cxy * (xe * ye) + cyy * ye * ye) * s,
+                (cxx * xe + cxy * ye) * (f32(-2.0) * s),
+                (cxy * xe + cyy * ye) * (f32(-2.0) * s),
+                cxx * s,
+                cxy * (f32(2.0) * s),
+                cyy * s,
+            ],
+            axis=1,
+        )  # [B, 6]: the per-entry quadratic-form coefficients, pre-scaled
+        q = _quadm_dot(u, _pixel_monomials(px, py), ((1,), (0,)))  # [B, N]
+        q = jnp.minimum(q, f32(0.0))  # PSD-conic invariant (s < 0)
+        density = jnp.exp2(q) if EXP2_DENSITY else jnp.exp(q)
+        alpha = jnp.minimum(entries.opacity * density, f32(OPACITY_2D_MAX))
+        blendable = alpha >= f32(OPACITY_2D_MIN)
+        return None, None, density, alpha, blendable
     dx = entries.pos_x - pix_x
     dy = entries.pos_y - pix_y
     if EXP2_DENSITY:
@@ -445,20 +517,43 @@ def backward_batch(
     # per-pair chain from ~34 ops to ~19 (PERF.md roofline: the grad
     # reductions were the largest backward block).
     t0 = density * d_alpha
-    d_opacity = jnp.sum(t0, axis=1, keepdims=True)  # [B, 1]
-    k = t0 * (-entries.opacity)  # density_density_grad_n
-    t1 = k * dx
-    t2 = k * dy
-    s_x = jnp.sum(t1, axis=1, keepdims=True)  # [B, 1] sum k dx
-    s_y = jnp.sum(t2, axis=1, keepdims=True)
-    d_conic = jnp.stack(
-        [
-            f32(0.5) * jnp.sum(t1 * dx, axis=1),
-            jnp.sum(t1 * dy, axis=1),  # full xy cotangent
-            f32(0.5) * jnp.sum(t2 * dy, axis=1),
-        ],
-        axis=-1,
-    )  # [B, 3]
+    if QUAD_MATMUL:
+        # Moment matmul: every reduction below is a contraction of
+        # k = -opacity * t0 with a monomial in dx = xe - px, dy = ye - py,
+        # so the six per-pair reductions collapse to ONE [B, N] x [N, 6]
+        # dot against the pixel-monomial basis plus per-entry combines
+        # (dx, dy are never materialized).
+        px, py, xe, ye = _local_frame(entries, pix_x, pix_y)
+        m = _quadm_dot(t0, _pixel_monomials(px, py), ((1,), (1,)))  # [B, 6]
+        d_opacity = m[:, 0:1]
+        negop = -entries.opacity
+        k0, k1, k2 = negop * m[:, 0:1], negop * m[:, 1:2], negop * m[:, 2:3]
+        k3, k4, k5 = negop * m[:, 3:4], negop * m[:, 4:5], negop * m[:, 5:6]
+        s_x = xe * k0 - k1  # sum k dx
+        s_y = ye * k0 - k2
+        d_conic = jnp.concatenate(
+            [
+                f32(0.5) * (xe * xe * k0 - f32(2.0) * xe * k1 + k3),
+                xe * ye * k0 - xe * k2 - ye * k1 + k4,  # full xy cotangent
+                f32(0.5) * (ye * ye * k0 - f32(2.0) * ye * k2 + k5),
+            ],
+            axis=-1,
+        )  # [B, 3]
+    else:
+        d_opacity = jnp.sum(t0, axis=1, keepdims=True)  # [B, 1]
+        k = t0 * (-entries.opacity)  # density_density_grad_n
+        t1 = k * dx
+        t2 = k * dy
+        s_x = jnp.sum(t1, axis=1, keepdims=True)  # [B, 1] sum k dx
+        s_y = jnp.sum(t2, axis=1, keepdims=True)
+        d_conic = jnp.stack(
+            [
+                f32(0.5) * jnp.sum(t1 * dx, axis=1),
+                jnp.sum(t1 * dy, axis=1),  # full xy cotangent
+                f32(0.5) * jnp.sum(t2 * dy, axis=1),
+            ],
+            axis=-1,
+        )  # [B, 3]
     d_pos = jnp.concatenate(
         [
             entries.conic_xx * s_x + entries.conic_xy * s_y,

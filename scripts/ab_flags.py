@@ -48,6 +48,20 @@ CONFIGS = {
         "GAUSPLAT_BLEND_GROUP": "32",
     },
     "mxu": {"GAUSPLAT_MXU": "1"},
+    # Quadratic-form-as-matmul: density exponent via one [B,6]x[6,256] MXU
+    # dot; backward grad reductions via one [B,N]x[N,6] moment dot.
+    "quadm": {"GAUSPLAT_QUADM": "1"},
+    "quadm_exp2_gs32": {
+        "GAUSPLAT_QUADM": "1",
+        "GAUSPLAT_EXP2": "1",
+        "GAUSPLAT_GROUP_SKIP": "1",
+        "GAUSPLAT_BLEND_GROUP": "32",
+    },
+    # Single-pass bf16 dots (half the MXU passes; training-grade accuracy).
+    "quadm_dp": {
+        "GAUSPLAT_QUADM": "1",
+        "GAUSPLAT_QUADM_PRECISION": "default",
+    },
     "sht": {"GAUSPLAT_SH_T": "1"},
     "projt": {"GAUSPLAT_SH_T": "1", "GAUSPLAT_POS_T": "1"},
     "all": {

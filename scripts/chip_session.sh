@@ -39,8 +39,8 @@ cp "$LOG" "$REPO/chip_session_log.txt" 2>/dev/null
 echo "--- stage 2: ab_flags.py (value order: the combined config answers the"
 echo "    decisive question first if the stage budget runs out; each config"
 echo "    is a fresh executable, so give compiles room)"
-timeout 14000 python scripts/ab_flags.py --timeout 1500 \
-  --configs all,gs32,exp2,mxu,projt,sht,half,gs16,gs64,b256_gs32
+timeout 16000 python scripts/ab_flags.py --timeout 1500 \
+  --configs all,quadm,quadm_exp2_gs32,gs32,exp2,mxu,projt,sht,half,gs16,gs64,b256_gs32
 cp "$LOG" "$REPO/chip_session_log.txt" 2>/dev/null
 
 echo "--- stage 3: prof_stages.py (headline config stage budget)"

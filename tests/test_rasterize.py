@@ -130,7 +130,7 @@ def test_backward_matches_oracle():
         )
 
 
-def test_custom_vjp_matches_autodiff():
+def test_custom_vjp_matches_autodiff(atol=1e-5):
     """The hand-written backward must equal autodiff of the pure forward."""
     csh, positions, rotations, scalings, op_inner = _scene_arrays(7)
     cam = Camera.from_view(_view())
@@ -171,10 +171,10 @@ def test_custom_vjp_matches_autodiff():
     ):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(a).max(), 1e-8)
-        np.testing.assert_allclose(b / scale, a / scale, atol=1e-5, err_msg=name)
+        np.testing.assert_allclose(b / scale, a / scale, atol=atol, err_msg=name)
 
 
-def test_pallas_interpret_matches_xla(block=B):
+def test_pallas_interpret_matches_xla(block=B, img_atol=1e-6, grad_atol=1e-5):
     """Pallas kernels (interpreter mode on CPU) vs the XLA fallback."""
     pytest.importorskip("jax.experimental.pallas")
     from gausplat_tpu.ops.rasterize import (
@@ -195,8 +195,8 @@ def test_pallas_interpret_matches_xla(block=B):
     # pipeline (and this comparison) masks them via the tile ranges.
     it_p, tt_p, ct_p = mask_empty_tiles(it_p, tt_p, ct_p, binning.tile_ranges)
     it_x, tt_x, ct_x = mask_empty_tiles(it_x, tt_x, ct_x, binning.tile_ranges)
-    np.testing.assert_allclose(np.asarray(it_p), np.asarray(it_x), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(tt_p), np.asarray(tt_x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(it_p), np.asarray(it_x), atol=img_atol)
+    np.testing.assert_allclose(np.asarray(tt_p), np.asarray(tt_x), atol=img_atol)
     np.testing.assert_array_equal(np.asarray(ct_p), np.asarray(ct_x))
 
     rng = np.random.default_rng(17)
@@ -211,7 +211,7 @@ def test_pallas_interpret_matches_xla(block=B):
     # output by design; mask as the pipeline does.
     valid = np.arange(CAP) < int(binning.total)
     np.testing.assert_allclose(
-        np.asarray(eg_p)[:, valid], np.asarray(eg_x)[:, valid], atol=1e-5
+        np.asarray(eg_p)[:, valid], np.asarray(eg_x)[:, valid], atol=grad_atol
     )
 
 
@@ -425,6 +425,81 @@ def test_all_flags_combined_matches(monkeypatch):
     test_forward_matches_oracle()
     test_backward_matches_oracle()
     test_pallas_interpret_matches_xla()
+
+
+def test_quad_matmul_close_to_default(monkeypatch):
+    """GAUSPLAT_QUADM (density exponent + backward grad reductions as MXU
+    dots in the tile-local monomial basis) matches the default per-pair VPU
+    path to f32-reassociation tolerance, forward and backward."""
+    from gausplat_tpu.ops import blend
+
+    pd, binning, stream = _forward_pieces()
+    it0, tt0, ct0 = rasterize_forward_xla(
+        stream, num_tiles=TCX * TCY, tile_count_x=TCX
+    )
+    rng = np.random.default_rng(29)
+    gimg = rng.standard_normal((H, W, 3)).astype(np.float32)
+    gt = tile_image(jnp.asarray(gimg), TCX, TCY)
+    gdotc0 = jnp.sum(gt * it0, axis=1)
+    eg0 = rasterize_backward_xla(stream, gt, gdotc0, ct0, tile_count_x=TCX)
+    pp0 = jax.ops.segment_sum(eg0.T, stream.entry_point, num_segments=P + 1)[:P]
+
+    monkeypatch.setattr(blend, "QUAD_MATMUL", 1)
+    it1, tt1, ct1 = rasterize_forward_xla(
+        stream, num_tiles=TCX * TCY, tile_count_x=TCX
+    )
+    gdotc1 = jnp.sum(gt * it1, axis=1)
+    eg1 = rasterize_backward_xla(stream, gt, gdotc1, ct1, tile_count_x=TCX)
+    pp1 = jax.ops.segment_sum(eg1.T, stream.entry_point, num_segments=P + 1)[:P]
+
+    # The expanded quad in the tile-local frame is exact up to f32
+    # reassociation (terms O(10), no cancellation); a blendability flip at
+    # the exact 1/255 alpha threshold would show up as a count mismatch.
+    np.testing.assert_array_equal(np.asarray(ct1), np.asarray(ct0))
+    np.testing.assert_allclose(np.asarray(it1), np.asarray(it0), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(tt1), np.asarray(tt0), atol=1e-4)
+    a, b = np.asarray(pp1), np.asarray(pp0)
+    scale = np.maximum(np.abs(b).max(axis=0, keepdims=True), 1e-6)
+    np.testing.assert_allclose(a / scale, b / scale, atol=5e-4)
+
+
+def test_quad_matmul_interpret_matches(monkeypatch):
+    """QUADM through the Pallas kernels (interpret mode) vs the QUADM XLA
+    fallback — guards the in-kernel dot_general plumbing."""
+    pytest.importorskip("jax.experimental.pallas")
+    from gausplat_tpu.ops import blend
+
+    monkeypatch.setattr(blend, "QUAD_MATMUL", 1)
+    # Interpreter and compiled dots sum in different orders; the drift
+    # compounds through the transmittance chain (reassociation-scale).
+    test_pallas_interpret_matches_xla(img_atol=5e-5, grad_atol=2e-4)
+
+
+def test_quad_matmul_vjp_matches_autodiff(monkeypatch):
+    """With QUADM on, the hand-written moment-matmul backward must equal
+    autodiff of the QUADM forward — the strongest check of the moment
+    algebra (s_x, d_conic, d_opacity recovered from one [B,N]x[N,6] dot).
+    Autodiff differentiates *through* the dot_general (different summation
+    order than the per-entry combines), hence the reassociation atol."""
+    from gausplat_tpu.ops import blend
+
+    monkeypatch.setattr(blend, "QUAD_MATMUL", 1)
+    test_custom_vjp_matches_autodiff(atol=1e-4)
+
+
+def test_quad_matmul_exp2_group_skip_matches(monkeypatch):
+    """QUADM composed with exp2 density and group-skip (the likely chip
+    config if all three win) stays on the oracle tolerances."""
+    pytest.importorskip("jax.experimental.pallas")
+    from gausplat_tpu.ops import blend, rasterize
+
+    monkeypatch.setattr(blend, "QUAD_MATMUL", 1)
+    monkeypatch.setattr(blend, "EXP2_DENSITY", 1)
+    monkeypatch.setattr(rasterize, "GROUP_SKIP", 1)
+    monkeypatch.setattr(rasterize, "BLEND_GROUP", 32)
+    test_forward_matches_oracle()
+    test_backward_matches_oracle()
+    test_pallas_interpret_matches_xla(block=128, img_atol=5e-5, grad_atol=2e-4)
 
 
 def test_half_mask_forward_interpret_matches(monkeypatch):
