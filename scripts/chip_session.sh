@@ -51,7 +51,7 @@ cat "$REPO/prof_stages_r03.txt"
 cp "$LOG" "$REPO/chip_session_log.txt" 2>/dev/null
 
 echo "--- stage 3.5: rasterize tests on the real chip (compiled Pallas path)"
-GAUSPLAT_TEST_TPU=1 timeout 2400 python -m pytest tests/test_rasterize.py -q -x
+GAUSPLAT_TEST_TPU=1 timeout 3600 python -m pytest tests/test_rasterize.py -q -x
 echo "tpu rasterize tests rc=$?"
 cp "$LOG" "$REPO/chip_session_log.txt" 2>/dev/null
 

@@ -488,13 +488,15 @@ def test_quad_matmul_vjp_matches_autodiff(monkeypatch):
 
 
 def test_quad_matmul_exp2_group_skip_matches(monkeypatch):
-    """QUADM composed with exp2 density and group-skip (the likely chip
-    config if all three win) stays on the oracle tolerances."""
+    """QUADM composed with exp2 density, MXU color contractions and
+    group-skip (the full dot-offload config if everything wins the chip
+    A/B) stays on the oracle tolerances."""
     pytest.importorskip("jax.experimental.pallas")
     from gausplat_tpu.ops import blend, rasterize
 
     monkeypatch.setattr(blend, "QUAD_MATMUL", 1)
     monkeypatch.setattr(blend, "EXP2_DENSITY", 1)
+    monkeypatch.setattr(blend, "MXU_BLEND", 1)
     monkeypatch.setattr(rasterize, "GROUP_SKIP", 1)
     monkeypatch.setattr(rasterize, "BLEND_GROUP", 32)
     test_forward_matches_oracle()
