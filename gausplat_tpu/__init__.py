@@ -10,7 +10,7 @@ training loop with densification, and multi-chip rendering via
 
 from . import constants, errors, ops, parallel, scene, train, utils
 from .constants import SH_COUNT_MAX, SH_DEGREE_MAX
-from .render.pipeline import render, RenderOptions, RenderOutput
+from .render.pipeline import render, render_views, RenderOptions, RenderOutput
 from .render.view import View, Views
 from .scene.gaussian_3d import GaussianScene
 from .scene.point import Points
@@ -34,6 +34,7 @@ __all__ = [
     "ops",
     "parallel",
     "render",
+    "render_views",
     "scene",
     "train",
     "utils",

@@ -1,6 +1,6 @@
 """Rendering: camera views, render options/outputs, the compiled pipeline."""
 
-from .pipeline import render, RenderOptions, RenderOutput
+from .pipeline import render, render_views, RenderOptions, RenderOutput
 from .view import View, Views
 
-__all__ = ["RenderOptions", "RenderOutput", "View", "Views", "render"]
+__all__ = ["RenderOptions", "RenderOutput", "View", "Views", "render", "render_views"]

@@ -222,3 +222,41 @@ def test_tight_culling_exact():
     np.testing.assert_allclose(
         np.asarray(n_tight), np.asarray(n_ref), rtol=5e-5, atol=2e-4
     )
+
+
+@pytest.mark.quick
+def test_render_views_batched_matches_single():
+    """render_views (one jitted dispatch over V same-resolution views) must
+    reproduce per-view render() exactly, in both vmap and lax.map modes,
+    and reject mixed resolutions."""
+    from gausplat_tpu import render_views
+
+    scene = _scene()
+    views = []
+    for dz, dx in ((4.0, 0.0), (4.5, 0.3), (3.5, -0.4)):
+        views.append(
+            View(
+                field_of_view_x=1.0,
+                field_of_view_y=0.8,
+                image_height=48,
+                image_width=64,
+                view_position=[dx, 0.0, -dz],
+                view_transform=View.transform(np.eye(3), [-dx, 0.0, dz]),
+            )
+        )
+
+    singles = [np.asarray(render(scene, v, OPTS).colors_rgb_2d) for v in views]
+    for mode in ("vmap", "map"):
+        out = render_views(scene, views, OPTS, mode=mode)
+        assert out.colors_rgb_2d.shape == (3, 48, 64, 3)
+        assert out.radii.shape[0] == 3
+        for i, s in enumerate(singles):
+            np.testing.assert_allclose(
+                np.asarray(out.colors_rgb_2d[i]), s, atol=1e-6,
+                err_msg=f"{mode} view {i}",
+            )
+
+    with pytest.raises(InvalidPixelCountError):
+        render_views(scene, [views[0], _view(w=32, h=32)], OPTS)
+    with pytest.raises(ValueError):
+        render_views(scene, [], OPTS)
