@@ -85,6 +85,13 @@ CONFIGS = {
         "GAUSPLAT_BLEND_GROUP": "32",
         "BENCH_TIERS": "primary,heavy",
     },
+    "heavy_quadm_exp2_gs32": {
+        "GAUSPLAT_QUADM": "1",
+        "GAUSPLAT_EXP2": "1",
+        "GAUSPLAT_GROUP_SKIP": "1",
+        "GAUSPLAT_BLEND_GROUP": "32",
+        "BENCH_TIERS": "primary,heavy",
+    },
 }
 
 

@@ -10,6 +10,10 @@ LOG=/tmp/tunnel_watchdog.log
 exec >> "$LOG" 2>&1
 
 echo "=== watchdog start $(date -u +%FT%TZ) pid $$ ==="
+# Freeze the round deadline at watchdog (round) start so chip_session.sh
+# can decide whether the 30k train_long must jump the measurement queue.
+export CHIP_DEADLINE_EPOCH=${CHIP_DEADLINE_EPOCH:-$(( $(date +%s) + 39600 ))}
+echo "deadline epoch $CHIP_DEADLINE_EPOCH"
 while true; do
   out=$(timeout 150 python - <<'EOF' 2>&1
 import jax
