@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import SH_COUNT_MAX
-from ..errors import MismatchedPolygonHeaderError
+from ..errors import IoError, MismatchedPolygonHeaderError
 from ..utils import native
 from .gaussian_3d import GaussianScene
 
@@ -60,7 +60,10 @@ def _parse_header(reader: BinaryIO) -> tuple[int, str]:
     """Parse and validate a 3DGS PLY header; return (point_count, fmt)."""
     raw_lines = []
     while True:
-        line = reader.readline()
+        try:
+            line = reader.readline()
+        except OSError as e:  # ref Error::Io from the header reads (import.rs)
+            raise IoError(e) from e
         if not line:
             raise MismatchedPolygonHeaderError("".join(raw_lines))
         text = line.decode("ascii", errors="replace").rstrip("\r\n")
@@ -110,7 +113,10 @@ def decode_polygon(source: Union[bytes, BinaryIO]) -> GaussianScene:
     point_count, fmt = _parse_header(reader)
 
     dtype = "<f4" if fmt == "binary_little_endian" else ">f4"
-    payload = reader.read(point_count * PROPERTY_COUNT * 4)
+    try:
+        payload = reader.read(point_count * PROPERTY_COUNT * 4)
+    except OSError as e:  # ref Error::Io from the payload read_exact
+        raise IoError(e) from e
     if len(payload) != point_count * PROPERTY_COUNT * 4:
         raise MismatchedPolygonHeaderError(
             f"payload holds {len(payload)} bytes; header declares "
@@ -169,7 +175,7 @@ def encode_polygon(scene: GaussianScene, writer: BinaryIO | None = None) -> byte
         )
         out = _header_text(point_count).encode("ascii") + payload
         if writer is not None:
-            writer.write(out)
+            _write(writer, out)
         return out
 
     colors_sh = np.asarray(scene.colors_sh, np.float32)
@@ -194,5 +200,12 @@ def encode_polygon(scene: GaussianScene, writer: BinaryIO | None = None) -> byte
 
     out = _header_text(point_count).encode("ascii") + data.astype("<f4").tobytes()
     if writer is not None:
-        writer.write(out)
+        _write(writer, out)
     return out
+
+
+def _write(writer: BinaryIO, out: bytes) -> None:
+    try:
+        writer.write(out)
+    except OSError as e:  # ref Error::Io from encode_polygon's writes (export.rs)
+        raise IoError(e) from e

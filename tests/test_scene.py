@@ -218,6 +218,42 @@ def test_ply_header_mismatch_raises():
         )
 
 
+def test_ply_io_failures_wrap_as_io_error():
+    """Reader/writer faults surface as GausplatError (ref Error::Io,
+    error/mod.rs:15-16), not bare OSError."""
+    from gausplat_tpu.errors import GausplatError, IoError
+
+    class FailingReader:
+        def readline(self):
+            raise OSError("boom")
+
+        def read(self, n=-1):
+            raise OSError("boom")
+
+    class FailingWriter:
+        def write(self, data):
+            raise OSError("disk full")
+
+    with pytest.raises(IoError):
+        decode_polygon(FailingReader())
+
+    class HeaderThenFail(FailingReader):
+        """Valid header, then the payload read fails."""
+
+        def __init__(self, blob):
+            self._buf = io.BytesIO(blob)
+
+        def readline(self):
+            return self._buf.readline()
+
+    blob = encode_polygon(GaussianScene.default())
+    with pytest.raises(IoError):
+        decode_polygon(HeaderThenFail(blob))
+    with pytest.raises(IoError):
+        encode_polygon(GaussianScene.default(), FailingWriter())
+    assert issubclass(IoError, GausplatError)
+
+
 def test_native_codec_matches_numpy():
     """When the C++ codec is built, it must match the NumPy path exactly."""
     from gausplat_tpu.utils import native
