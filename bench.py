@@ -271,7 +271,8 @@ def main():
     block_size = int(os.environ.get("BENCH_BLOCK", 128))
     entry_dtype = os.environ.get("BENCH_ENTRY_DTYPE", "f32")
     scale_mult = float(os.environ.get("BENCH_SCALE", 1.0))
-    iters = int(os.environ.get("BENCH_ITERS", 4))
+    # Amortized timing needs >= 2 chained steps ((n-run - 1-run) / (n - 1)).
+    iters = max(int(os.environ.get("BENCH_ITERS", 4)), 2)
     tiers = os.environ.get("BENCH_TIERS", "primary,bf16,heavy").split(",")
 
     # Primary: reference-parity f32 entries (per round-2 advisor: keep the
@@ -308,7 +309,10 @@ def main():
             # Garden-class heavy expansion (~7-8 entries/visible): the
             # honest real-scene load tier (VERDICT round-2 Weak #3).
             ms_heavy, hstats = _measure_tier(
-                jax, point_count, width, height, 3.5, 8_388_608, 256,
+                jax, point_count, width, height,
+                float(os.environ.get("BENCH_HEAVY_SCALE", 3.5)),
+                int(os.environ.get("BENCH_HEAVY_CAPACITY", 8_388_608)),
+                int(os.environ.get("BENCH_HEAVY_BLOCK", 256)),
                 "bf16", iters,
             )
             RESULT["ms_heavy"] = round(ms_heavy, 3)
