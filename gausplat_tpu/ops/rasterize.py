@@ -85,14 +85,6 @@ import os as _os
 
 BLEND_GROUP = int(_os.environ.get("GAUSPLAT_BLEND_GROUP", "0"))
 
-#: Sub-tile done-masking (forward kernel): split each window's 256-pixel
-#: tile into two 128-lane halves and skip a half once all of its pixels
-#: are done. Exact (the blend is independent per pixel); saves VPU work
-#: on partially saturated tiles at the cost of one extra predicate per
-#: window. Off by default pending an on-chip full-chain A/B
-#: (PERF.md round-2 lesson: stage-level wins can lose in-chain).
-HALF_MASK = int(_os.environ.get("GAUSPLAT_HALF_MASK", "0"))
-
 #: Group-skip blending (Pallas kernels only, needs BLEND_GROUP): process
 #: each window as BLEND_GROUP-entry sub-groups chained through the VMEM
 #: state refs, and *skip* a group entirely when it lies outside the step's
@@ -359,20 +351,24 @@ def _forward_kernel(
         entries = entries_from_rows(entry_ref[...], packed)
         pix_x, pix_y = _pixel_coords(tile_ref[i], tile_count_x)
 
-        def blend_lanes(sl):
-            state = ForwardState(
-                color=image_ref[:, sl],
-                transmittance=trans_ref[:, sl],
-                done=done_ref[:, sl] > 0,
-                rendered_count=count_ref[:, sl],
+        # Mosaic note: the [3, 256] color block sits in a (4, 128)-tiled
+        # memref whose sublane extent (3) is unaligned, so refs here may
+        # only be read/written full-width ([...]); partial subscripts
+        # (ref[:, sl]) lower to memref_slice and fail to compile on real
+        # TPU. Sub-tile paths slice *values* and store full-width.
+        def load_state():
+            return ForwardState(
+                color=image_ref[...],
+                transmittance=trans_ref[...],
+                done=done_ref[...] > 0,
+                rendered_count=count_ref[...],
             )
-            new = _blend_forward(
-                state, entries, pix_x[:, sl], pix_y[:, sl], base_pos, mask
-            )
-            image_ref[:, sl] = new.color
-            trans_ref[:, sl] = new.transmittance
-            count_ref[:, sl] = new.rendered_count
-            done_ref[:, sl] = new.done.astype(jnp.int32)
+
+        def store_state(new):
+            image_ref[...] = new.color
+            trans_ref[...] = new.transmittance
+            count_ref[...] = new.rendered_count
+            done_ref[...] = new.done.astype(jnp.int32)
 
         g = _group_size(block_size)
         if g:
@@ -388,30 +384,26 @@ def _forward_kernel(
                     sub = jax.tree_util.tree_map(
                         lambda f: f[s0 : s0 + g], entries
                     )
-                    state = ForwardState(
-                        color=image_ref[...],
-                        transmittance=trans_ref[...],
-                        done=done_ref[...] > 0,
-                        rendered_count=count_ref[...],
-                    )
                     new = forward_batch(
-                        state, sub, pix_x, pix_y, base_pos + s0,
+                        load_state(), sub, pix_x, pix_y, base_pos + s0,
                         mask[s0 : s0 + g],
                     )
-                    image_ref[...] = new.color
-                    trans_ref[...] = new.transmittance
-                    count_ref[...] = new.rendered_count
-                    done_ref[...] = new.done.astype(jnp.int32)
-        elif not HALF_MASK:
-            blend_lanes(slice(None))
+                    store_state(new)
         else:
-            half = PIXELS_PER_TILE // 2
-            for h in range(2):
-                sl = slice(h * half, (h + 1) * half)
-
-                @pl.when(jnp.logical_not(jnp.all(done_ref[:, sl] > 0)))
-                def _(sl=sl):
-                    blend_lanes(sl)
+            # Sub-tile (pixel-axis) done-masking was tried here and
+            # removed: slicing the [., 256] state to 128-lane halves —
+            # as values or refs — hits Mosaic lowering limits on real TPU
+            # hardware (memref_slice sublane alignment, no
+            # dynamic_update_slice, "invalid input layout" for lane-offset
+            # value slices), and the sub-tile pair accounting
+            # (scripts/prof_subtile.py) had already shown the lever is a
+            # wash. Whole-tile early exit (the `skip` predicate) plus
+            # entry-axis group-skip are the supported compute cuts.
+            store_state(
+                _blend_forward(
+                    load_state(), entries, pix_x, pix_y, base_pos, mask
+                )
+            )
 
 
 def rasterize_forward_pallas(
@@ -568,15 +560,22 @@ def _backward_kernel(
                     )
                     trans_ref[...] = new_state.transmittance
                     prefix_ref[...] = new_state.grad_prefix
-                    lane_row = (
-                        jax.lax.broadcasted_iota(jnp.int32, (1, g), 1) + s0
+                    # Full-width read-modify-write: out_ref's sublane
+                    # extent (9 or 6 rows) is tiling-unaligned, so partial
+                    # lane stores (out_ref[:, s0:s0+g]) fail Mosaic
+                    # compilation; pad the group's rows to block width and
+                    # merge under a lane mask instead.
+                    rows_g = grads_to_rows(grads, packed)
+                    rows_full = jnp.pad(
+                        rows_g, ((0, 0), (s0, block_size - s0 - g))
                     )
-                    mask_row = (lane_row >= lo) & (lane_row < hi)
-                    out_ref[:, s0 : s0 + g] = jnp.where(
-                        mask_row,
-                        grads_to_rows(grads, packed),
-                        out_ref[:, s0 : s0 + g],
+                    lane_row = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, block_size), 1
                     )
+                    sel = (lane_row >= jnp.maximum(lo, s0)) & (
+                        lane_row < jnp.minimum(hi, s0 + g)
+                    )
+                    out_ref[...] = jnp.where(sel, rows_full, out_ref[...])
             return
 
         state = BackwardState(

@@ -14,7 +14,6 @@ subprocess-per-config structure):
 - exp2:        GAUSPLAT_EXP2=1 (exp2 density, per-entry conic pre-scale)
 - gs32/gs16:   GAUSPLAT_GROUP_SKIP=1 with BLEND_GROUP 32/16
 - exp2_gs32:   both combined
-- half:        GAUSPLAT_HALF_MASK=1 (sub-tile done-masking)
 - heavy_*:     the garden-class heavy tier for the winning flags
 """
 
@@ -69,14 +68,6 @@ CONFIGS = {
         "GAUSPLAT_GROUP_SKIP": "1",
         "GAUSPLAT_BLEND_GROUP": "32",
         "GAUSPLAT_MXU": "1",
-    },
-    "half": {"GAUSPLAT_HALF_MASK": "1"},
-    "allhalf": {
-        "GAUSPLAT_EXP2": "1",
-        "GAUSPLAT_GROUP_SKIP": "1",
-        "GAUSPLAT_BLEND_GROUP": "32",
-        "GAUSPLAT_MXU": "1",
-        "GAUSPLAT_HALF_MASK": "1",
     },
     "heavy_base": {"BENCH_TIERS": "primary,heavy"},
     "heavy_exp2_gs32": {

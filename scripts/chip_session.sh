@@ -90,7 +90,7 @@ echo "--- stage 5: ab_flags secondary set (under train_long load; absolutes"
 echo "    inflated, deltas comparable) -> PERF_AB_bgload.jsonl"
 timeout 14000 python scripts/ab_flags.py --timeout 1500 \
   --out "$REPO/PERF_AB_bgload.jsonl" \
-  --configs mxu,exp2,half,allhalf,gs16,gs64,b256_gs32,quadm_dp,sht,projt,heavy_base,heavy_exp2_gs32
+  --configs mxu,exp2,gs16,gs64,b256_gs32,quadm_dp,sht,projt,heavy_base,heavy_exp2_gs32
 snap
 
 echo "--- stage 6: rasterize tests on the real chip (compiled Pallas path)"

@@ -411,7 +411,7 @@ def test_exp2_density_matches_oracle(monkeypatch):
 
 def test_all_flags_combined_matches(monkeypatch):
     """The combined flag config the on-chip A/B runs as ``all`` (exp2 +
-    group-skip + MXU contractions + sub-tile masking together) must match
+    group-skip + MXU contractions together) must match
     the oracle and the XLA fallback — guards against flag interactions
     before chip time is spent on the combo."""
     pytest.importorskip("jax.experimental.pallas")
@@ -421,7 +421,6 @@ def test_all_flags_combined_matches(monkeypatch):
     monkeypatch.setattr(blend, "MXU_BLEND", 1)
     monkeypatch.setattr(rasterize, "GROUP_SKIP", 1)
     monkeypatch.setattr(rasterize, "BLEND_GROUP", 32)
-    monkeypatch.setattr(rasterize, "HALF_MASK", 1)
     test_forward_matches_oracle()
     test_backward_matches_oracle()
     test_pallas_interpret_matches_xla()
@@ -502,15 +501,3 @@ def test_quad_matmul_exp2_group_skip_matches(monkeypatch):
     test_forward_matches_oracle()
     test_backward_matches_oracle()
     test_pallas_interpret_matches_xla(block=128, img_atol=5e-5, grad_atol=2e-4)
-
-
-def test_half_mask_forward_interpret_matches(monkeypatch):
-    """GAUSPLAT_HALF_MASK sub-tile done-masking is exact: the forward
-    kernel with per-half compute skips matches the XLA fallback (the skip
-    only elides work for pixels whose ``done`` already masks every
-    blend)."""
-    pytest.importorskip("jax.experimental.pallas")
-    from gausplat_tpu.ops import rasterize
-
-    monkeypatch.setattr(rasterize, "HALF_MASK", 1)
-    test_pallas_interpret_matches_xla()
