@@ -320,10 +320,21 @@ def main():
     except Exception as e:  # secondary tiers must never kill the headline
         _progress(f"secondary tier failed: {e!r}")
 
-    if jax.devices()[0].platform == "tpu":
+    # Refresh the tunnel-down fallback snapshot ONLY for a default-config
+    # run: the A/B driver exports GAUSPLAT_*/BENCH_* flags and often runs
+    # while a background fit loads the chip — one such run overwrote the
+    # snapshot with a 17x-inflated number in round 3.
+    overrides = [
+        k for k in os.environ
+        if k.startswith("GAUSPLAT_")
+        or (k.startswith("BENCH_") and k not in ("BENCH_BUDGET_S", "BENCH_SKIP_PROBE"))
+    ]
+    if jax.devices()[0].platform == "tpu" and not overrides:
         snap = dict(RESULT)
         snap["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         LAST_TPU_SNAPSHOT.write_text(json.dumps(snap) + "\n")
+    elif overrides:
+        _progress(f"snapshot not refreshed (env overrides: {overrides})")
 
     print(json.dumps(RESULT), flush=True)
 

@@ -85,18 +85,17 @@ def spans_to_sources(
 
 
 class BinningOutput(NamedTuple):
-    point_indices: jax.Array  # [capacity] int32, sorted by (tile, depth); P pads
+    #: [capacity] int32, sorted by (tile, depth); padding slots carry the
+    #: sentinel point id P. The backward's gradient reduction stable-sorts
+    #: the per-entry gradient rows by THESE ids (pipeline._render_bwd): on
+    #: this chip a multi-operand ``lax.sort`` runs at ~6 ms per 2.4M rows
+    #: while any random gather/scatter formulation costs 12-190 ms
+    #: (scripts/prof_reduce.py), so the sort IS the fast permutation
+    #: primitive — the round-3 inverse-permutation gather was 10x slower.
+    point_indices: jax.Array
     point_offsets: jax.Array  # [P] int32 inclusive cumsum of touched-tile counts
     tile_ranges: jax.Array  # [num_tiles, 2] int32 (start, end) into the above
     total: jax.Array  # [] int32 true number of entries (may exceed capacity)
-    #: [capacity] int32: the *sorted-stream position* of each pre-sort
-    #: (expansion-order) slot. Gathering per-entry data through this map
-    #: restores point-grouped order — each point's entries land at
-    #: [offsets[p-1], offsets[p]) in tile-ascending order, exactly the
-    #: layout a stable sort by point id would produce — which the backward
-    #: uses to reduce gradients per point without sorting the gradient
-    #: payload rows (see pipeline._render_bwd).
-    reduce_perm: jax.Array
 
 
 def depth_to_order(depths: jax.Array) -> jax.Array:
@@ -184,36 +183,22 @@ def make_point_orders(
 
 def sort_entries(
     keys: jax.Array, point_indices: jax.Array
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array]:
     """Stable sort of (key, point-index) pairs by key.
 
     Replaces the reference's 4-pass LSD radix sort with XLA's TPU sort
     (sort/radix/mod.rs:43-155). Padding keys (0xFFFFFFFF) sort last.
-
-    Also returns ``reduce_perm`` (see :class:`BinningOutput`): the sort
-    carries the pre-sort slot as a third operand, and a second 2-operand
-    int sort inverts that permutation. Both live in the *forward* pass
-    (and are DCE'd on forward-only renders), replacing the backward's
-    (1 + R)-operand gradient-payload sort with one multi-row gather.
     """
-    capacity = keys.shape[0]
-    iota = jnp.arange(capacity, dtype=jnp.int32)
     # TPU lax.sort is fastest on int32; keys use the full u32 range, so
     # bias to int32 order-preservingly (x ^ 0x80000000).
     signed_keys = (keys ^ jnp.uint32(0x80000000)).astype(jnp.int32)
-    sorted_keys, sorted_indices, sorted_slots = jax.lax.sort(
-        (signed_keys, point_indices, iota),
+    sorted_keys, sorted_indices = jax.lax.sort(
+        (signed_keys, point_indices),
         dimension=0, is_stable=True, num_keys=1,
-    )
-    # Invert: reduce_perm[j] = sorted position of pre-sort slot j.
-    # (sorted_slots is a permutation: stability keeps it well-defined.)
-    _, reduce_perm = jax.lax.sort(
-        (sorted_slots, iota), dimension=0, is_stable=True, num_keys=1
     )
     return (
         sorted_keys.astype(jnp.uint32) ^ jnp.uint32(0x80000000),
         sorted_indices,
-        reduce_perm,
     )
 
 
@@ -253,13 +238,12 @@ def bin_gaussians(
 ) -> BinningOutput:
     """Full binning pipeline: expand -> sort -> segment.
 
-    The sort carries the source *point id* as its value and the pre-sort
-    slot as a second payload; inverting the latter yields ``reduce_perm``,
-    through which the backward gathers per-entry gradients into
-    point-grouped order (each point's entries land in
-    [offsets[p-1], offsets[p]), in the same tile-ascending order they hold
-    both pre-sort and in the (tile, depth)-sorted stream) for a
-    scatter-free, sort-free, deterministic per-point reduction.
+    The sort carries the source *point id* as its value; the backward's
+    gradient reduction re-sorts the per-entry gradient rows by these ids
+    (a stable sort restores each point's entries to [offsets[p-1],
+    offsets[p]) in the same tile-ascending order they hold in expansion
+    order) for a scatter-free, deterministic per-point reduction — see
+    ``BinningOutput.point_indices``.
     """
     keys, src, offsets_inc, total = make_point_orders(
         depths,
@@ -270,7 +254,7 @@ def bin_gaussians(
         tile_count_x=tile_count_x,
         capacity=capacity,
     )
-    sorted_keys, sorted_points, reduce_perm = sort_entries(keys, src)
+    sorted_keys, sorted_points = sort_entries(keys, src)
     ranges = tile_ranges_from_keys(
         sorted_keys, total, num_tiles=tile_count_x * tile_count_y
     )
@@ -279,5 +263,4 @@ def bin_gaussians(
         point_offsets=offsets_inc,
         tile_ranges=ranges,
         total=total,
-        reduce_perm=reduce_perm,
     )

@@ -196,6 +196,26 @@ EXP2_DENSITY = int(_os.environ.get("GAUSPLAT_EXP2", "0"))
 #: (ULP-level). Opt-in until the in-kernel lowering is verified on-chip.
 MXU_BLEND = int(_os.environ.get("GAUSPLAT_MXU", "0"))
 
+#: Matmul precision for the MXU_BLEND dots. On TPU the DEFAULT dot precision
+#: is single-pass bf16, which showed a 3.8e-3 max image deviation on-chip
+#: (round-3 session: test_mxu_blend_matches_oracle failed on hardware while
+#: passing in CPU interpret mode) — ~1/255, a visible quantum. "highest"
+#: (multi-pass) restores f32-accurate contractions at ~3x the MXU time,
+#: which is still nearly free while the VPU is the wall.
+MXU_PRECISION = _os.environ.get("GAUSPLAT_MXU_PRECISION", "highest")
+
+
+def _mxu_dot(a: jax.Array, b: jax.Array, dims) -> jax.Array:
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if MXU_PRECISION == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())), precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+
 #: Quadratic-form-as-matmul (GAUSPLAT_QUADM=1): the per-(entry, pixel)
 #: density exponent ``s*(cxx dx^2 + 2 cxy dx dy + cyy dy^2)`` is bilinear in
 #: a per-entry 6-vector and the per-pixel monomial basis
@@ -361,9 +381,8 @@ def forward_batch(
 
     if MXU_BLEND:
         # color^T [3, B] x weight [B, N] on the MXU (K = B contraction).
-        color = state.color + jax.lax.dot_general(
-            entries.color, weight, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        color = state.color + _mxu_dot(
+            entries.color, weight, ((0,), (0,))
         )
     else:
         color = state.color + jnp.stack(
@@ -490,10 +509,7 @@ def backward_batch(
 
     # <g, c_n> per (point, pixel).
     if MXU_BLEND:
-        g_dot_c = jax.lax.dot_general(
-            entries.color, grad_color, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        g_dot_c = _mxu_dot(entries.color, grad_color, ((1,), (0,)))
     else:
         g_dot_c = sum(
             grad_color[c : c + 1, :] * entries.color[:, c : c + 1]
@@ -565,10 +581,7 @@ def backward_batch(
     if MXU_BLEND:
         # weight [B, N] x grad_color [3, N] contracted over pixels -> [B, 3]
         # on the MXU (the VPU is the wall; K = 256 keeps the array busy).
-        d_color = jax.lax.dot_general(
-            weight, grad_color, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        d_color = _mxu_dot(weight, grad_color, ((1,), (1,)))
     else:
         d_color = jnp.stack(
             [

@@ -34,7 +34,7 @@ from ..render.pipeline import RenderOptions, _capacity
 from ..scene.gaussian_3d import GaussianScene
 from ..train.densify import zero_densify_acc
 from ..train.losses import ssim_map
-from ..train.optimizer import OptimizerConfig, make_optimizer
+from ..train.optimizer import OptimizerConfig, make_optimizer, seed_count
 from .render import _core, _shard_capacity, shard_map
 
 #: Rows of cross-slab context the 11x11 SSIM window needs.
@@ -295,7 +295,9 @@ class ShardedTrainer:
         device scalars (no per-step host sync)."""
         step, optimizer, _ = self._get_step()
         if self._opt_point_count != self.scene.point_count:
-            self._opt_state = optimizer.init(self.scene)
+            self._opt_state = seed_count(
+                optimizer.init(self.scene), self.step_count
+            )
             self._opt_point_count = self.scene.point_count
             self._densify_acc = zero_densify_acc(self.scene.point_count)
 
@@ -394,7 +396,9 @@ class ShardedTrainer:
         while self.step_count < end:
             _, optimizer, make_step_scan = self._get_step()
             if self._opt_point_count != self.scene.point_count:
-                self._opt_state = optimizer.init(self.scene)
+                self._opt_state = seed_count(
+                optimizer.init(self.scene), self.step_count
+            )
                 self._opt_point_count = self.scene.point_count
                 self._densify_acc = zero_densify_acc(self.scene.point_count)
             k = min(

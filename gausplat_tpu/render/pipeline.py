@@ -244,15 +244,15 @@ def _build_render_fn(
         )
         residuals = (
             colors_sh, opacities, positions, rotations, scalings, camera,
-            stream, binning.point_offsets, binning.reduce_perm, binning.total,
-            image_tiles, count_tiles,
+            stream, binning.point_offsets, binning.point_indices,
+            binning.total, image_tiles, count_tiles,
         )
         return out, residuals
 
     def _render_bwd(residuals, cotangents):
         (
             colors_sh, opacities, positions, rotations, scalings, camera,
-            stream, point_offsets, reduce_perm, entry_total,
+            stream, point_offsets, sorted_pids, entry_total,
             image_tiles, count_tiles,
         ) = residuals
         grad_image = cotangents.colors_rgb_2d  # [H, W, 3]
@@ -280,36 +280,51 @@ def _build_render_fn(
 
         # Deterministic, scatter-free gradient accumulation over duplicated
         # entries (replaces atomicAdd: rasterize_backward/kernel.wgsl:
-        # 255-269): gathering the per-entry grad rows through the
-        # forward-computed inverse sort permutation (binning.reduce_perm)
-        # restores the pre-sort expansion layout, which IS point-grouped
-        # order — each point's entries at [offsets[p-1], offsets[p]) in
-        # tile-ascending order, bit-identical to what a stable sort by
-        # point id would produce (the round-2 design) at a fraction of the
-        # cost: the (1 + R)-operand payload sort becomes one multi-row
-        # gather, and the permutation's own 2-operand int sorts live in
-        # the forward pass. A tiled prefix sum differenced at each point's
-        # span end then yields the per-point totals. TPU scatter-add over
-        # duplicate indices (segment_sum) is ~10x slower.
+        # 255-269): ONE stable payload sort groups the per-entry grad rows
+        # by point id (within a point, entries keep their tile-ascending
+        # stream order), then a batched prefix sum differenced at each
+        # point's span end yields the per-point totals. On this chip the
+        # multi-operand lax.sort is the FAST permutation primitive
+        # (~6 ms at 2.4M rows) while every random gather/scatter
+        # formulation measured 12-190 ms (scripts/prof_reduce.py:
+        # full_current 124 ms with the round-3 inverse-permutation gather
+        # vs 35 ms for this sort-based form). The span-end gather is split
+        # [:8] / [8] because a 9-row column slice crosses the 8-sublane
+        # tile boundary, which alone is a 2x gather penalty.
         with jax.named_scope("gausplat.grad_reduce"):
             valid_count = jnp.minimum(entry_total, jnp.int32(capacity))
             # Zero rows at padding positions (beyond any tile segment —
-            # the Pallas kernel leaves them unwritten).
+            # the Pallas kernel leaves them unwritten). Their point id is
+            # already the sentinel P, sorting after every real entry.
             slot_valid = (
                 jnp.arange(capacity, dtype=jnp.int32) < valid_count
             )
             entry_grads = jnp.where(slot_valid[None, :], entry_grads, 0)
-            grads_presort = jnp.take(entry_grads, reduce_perm, axis=1)
-            grads_by_point = grad_rows_to_components(grads_presort, packed)
-            hi_idx = jnp.minimum(point_offsets, valid_count) - 1
-            d_comp = []
-            for gu in grads_by_point:
-                cs = prefix_sum(gu)
-                # Inclusive prefix through each point's span end; the span
-                # start is the previous point's end, so one gather suffices.
-                hi = jnp.where(hi_idx >= 0, cs[jnp.maximum(hi_idx, 0)], 0.0)
-                lo = jnp.concatenate([jnp.zeros((1,), cs.dtype), hi[:-1]])
-                d_comp.append(hi - lo)
+            srt = jax.lax.sort(
+                (sorted_pids,)
+                + tuple(entry_grads[r] for r in range(entry_grads.shape[0])),
+                num_keys=1,
+                is_stable=True,
+            )
+            grads_by_point = grad_rows_to_components(
+                jnp.stack(srt[1:]), packed
+            )
+            cs = prefix_sum(jnp.stack(grads_by_point))  # [9, capacity]
+            hi_raw = jnp.minimum(point_offsets, valid_count) - 1
+            hi_idx = jnp.maximum(hi_raw, 0)
+            hi = jnp.concatenate(
+                [
+                    jnp.take(cs[:8], hi_idx, axis=1),
+                    jnp.take(cs[8], hi_idx)[None],
+                ],
+                axis=0,
+            )
+            hi = jnp.where(hi_raw[None, :] >= 0, hi, 0.0)
+            lo = jnp.concatenate(
+                [jnp.zeros((hi.shape[0], 1), hi.dtype), hi[:, :-1]], axis=1
+            )
+            d_all = hi - lo
+            d_comp = [d_all[r] for r in range(d_all.shape[0])]
 
         # Opacity: chain through the sigmoid (the reference applies it
         # in-kernel, rasterize_backward/kernel.wgsl:229).

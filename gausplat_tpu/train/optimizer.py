@@ -49,6 +49,20 @@ def _sh_lr_mask(config: OptimizerConfig):
     return scale.at[:, 0:3].set(1.0)
 
 
+def seed_count(state, step) -> dict:
+    """Re-key a freshly init'd optimizer state to the training-global step.
+
+    Densification reshapes the scene, which forces a fresh optimizer state —
+    but the position-lr schedule must continue from the *global* iteration
+    (the standard 3DGS recipe keys ``position_lr`` to the training
+    iteration). Without this, every densify rewound the schedule to step 0;
+    after the last densify at 15k the position lr sat ~8x too high for the
+    rest of a 30k fit, which showed up as the post-15k PSNR decay in
+    train_long_r03.json (46.6 dB peak -> 38.4 at 30k).
+    """
+    return {**state, "count": jnp.asarray(step, jnp.int32)}
+
+
 def make_optimizer(config: OptimizerConfig = OptimizerConfig()):
     """An optax-style GradientTransformation over the GaussianScene pytree.
 

@@ -38,7 +38,7 @@ from .densify import (
     zero_densify_acc,
 )
 from .losses import photometric_loss, psnr
-from .optimizer import OptimizerConfig, make_optimizer
+from .optimizer import OptimizerConfig, make_optimizer, seed_count
 
 
 @dataclasses.dataclass(frozen=True)
@@ -291,7 +291,9 @@ class Trainer:
         """
         step, optimizer, _, _ = self._get_step()
         if self._opt_point_count != self.scene.point_count:
-            self._opt_state = optimizer.init(self.scene)
+            self._opt_state = seed_count(
+                optimizer.init(self.scene), self.step_count
+            )
             self._opt_point_count = self.scene.point_count
             self._densify_acc = _zero_densify_acc(self.scene.point_count)
 
@@ -315,7 +317,9 @@ class Trainer:
         advances by the batch size so schedules stay comparable."""
         _, optimizer, step_batch, _ = self._get_step()
         if self._opt_point_count != self.scene.point_count:
-            self._opt_state = optimizer.init(self.scene)
+            self._opt_state = seed_count(
+                optimizer.init(self.scene), self.step_count
+            )
             self._opt_point_count = self.scene.point_count
             self._densify_acc = _zero_densify_acc(self.scene.point_count)
 
@@ -419,7 +423,9 @@ class Trainer:
         while self.step_count < end:
             _, optimizer, _, make_step_scan = self._get_step()
             if self._opt_point_count != self.scene.point_count:
-                self._opt_state = optimizer.init(self.scene)
+                self._opt_state = seed_count(
+                optimizer.init(self.scene), self.step_count
+            )
                 self._opt_point_count = self.scene.point_count
                 self._densify_acc = _zero_densify_acc(self.scene.point_count)
             k = min(self._next_event(end) - self.step_count, max_chunk)

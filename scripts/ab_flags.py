@@ -46,7 +46,9 @@ CONFIGS = {
         "GAUSPLAT_GROUP_SKIP": "1",
         "GAUSPLAT_BLEND_GROUP": "32",
     },
-    "mxu": {"GAUSPLAT_MXU": "1"},
+    "mxu": {"GAUSPLAT_MXU": "1"},  # precision=highest (the default)
+    "mxu_dp": {"GAUSPLAT_MXU": "1", "GAUSPLAT_MXU_PRECISION": "default"},
+    "heavy_mxu": {"GAUSPLAT_MXU": "1", "BENCH_TIERS": "primary,heavy"},
     # Quadratic-form-as-matmul: density exponent via one [B,6]x[6,256] MXU
     # dot; backward grad reductions via one [B,N]x[N,6] moment dot.
     "quadm": {"GAUSPLAT_QUADM": "1"},

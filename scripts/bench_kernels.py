@@ -45,7 +45,7 @@ def main():
     dv = jnp.asarray(vals)
 
     def device_sort(k):
-        sk, sv, _ = sort_entries(k, dv)
+        sk, sv = sort_entries(k, dv)
         return sv[-1]
 
     def device_scan(k):

@@ -44,7 +44,7 @@ def run(pos, i, stage):
         proj.tile_counts, tile_count_x=TCX, capacity=CAP)
     acc = acc + keys[-1].astype(jnp.float32) + src[-1].astype(jnp.float32)
     if stage < 2: return acc
-    sk, sv, reduce_perm = sort_entries(keys, src)
+    sk, sv = sort_entries(keys, src)
     acc = acc + sk[-1].astype(jnp.float32) + sv[-1].astype(jnp.float32)
     if stage < 3: return acc
     ranges = tile_ranges_from_keys(sk, total, num_tiles=TCX * TCY)
@@ -64,23 +64,25 @@ def run(pos, i, stage):
         stream, gimg, gdotc, ct, tile_count_x=TCX, interpret=INTERPRET)
     acc = acc + eg[0].sum().astype(jnp.float32)
     if stage < 7: return acc
-    # Mirror the pipeline's round-3 default reduce (pipeline._render_bwd):
-    # gather the grad rows through the forward-computed inverse sort
-    # permutation back to expansion (= point-grouped) order, then tiled
-    # prefix sums differenced at span ends. The inverse-perm int sorts live
-    # in the forward pass there; here they are only consumed at this stage,
-    # so this stage's delta charges the WHOLE reduce machinery (sorts +
-    # gather + prefix) — an upper bound on its in-chain cost.
+    # Mirror the pipeline's default reduce (pipeline._render_bwd): ONE
+    # stable payload sort by point id, batched prefix sum, span-end gather
+    # split [:8]/[8] (a 9-row column slice crosses the 8-sublane tile).
     valid_count = jnp.minimum(total, jnp.int32(CAP))
     valid = jnp.arange(CAP, dtype=jnp.int32) < valid_count
     eg = jnp.where(valid[None, :], eg, 0)
-    grads_presort = jnp.take(eg, reduce_perm, axis=1)
-    comps = grad_rows_to_components(grads_presort, PACKED)
-    hi_idx = jnp.minimum(offsets_inc, valid_count) - 1
-    for gu in comps:
-        cs = prefix_sum(gu)
-        hi = jnp.where(hi_idx >= 0, cs[jnp.maximum(hi_idx, 0)], 0.0)
-        acc = acc + hi.sum()
+    srt = jax.lax.sort(
+        (sv,) + tuple(eg[r] for r in range(eg.shape[0])),
+        num_keys=1, is_stable=True,
+    )
+    comps = grad_rows_to_components(jnp.stack(srt[1:]), PACKED)
+    cs = prefix_sum(jnp.stack(comps))
+    hi_raw = jnp.minimum(offsets_inc, valid_count) - 1
+    hi_idx = jnp.maximum(hi_raw, 0)
+    hi = jnp.concatenate(
+        [jnp.take(cs[:8], hi_idx, axis=1), jnp.take(cs[8], hi_idx)[None]],
+        axis=0,
+    )
+    acc = acc + jnp.where(hi_raw[None, :] >= 0, hi, 0.0).sum()
     return acc
 
 

@@ -98,7 +98,7 @@ def test_sort_stable_and_ranges():
     n = (1 << 10) - 1  # non-power-of-two
     keys = rng.integers(0, 1 << 20, n, dtype=np.uint32).astype(np.uint32)
     vals = np.arange(n, dtype=np.int32)
-    sk, sv, _ = sort_entries(jnp.asarray(keys), jnp.asarray(vals))
+    sk, sv = sort_entries(jnp.asarray(keys), jnp.asarray(vals))
     sk, sv = np.asarray(sk), np.asarray(sv)
     order = np.argsort(keys, kind="stable")
     np.testing.assert_array_equal(sk, keys[order])
@@ -107,7 +107,7 @@ def test_sort_stable_and_ranges():
     num_tiles = 20
     tiles = rng.integers(0, num_tiles, n, dtype=np.uint32)
     keys2 = (tiles.astype(np.uint32) << np.uint32(16)) | np.uint32(7)
-    sk2, _, _ = sort_entries(jnp.asarray(keys2), jnp.asarray(vals))
+    sk2, _ = sort_entries(jnp.asarray(keys2), jnp.asarray(vals))
     ranges = np.asarray(
         tile_ranges_from_keys(sk2, jnp.int32(n), num_tiles=num_tiles)
     )
@@ -130,11 +130,12 @@ def test_bin_gaussians_overflow_detection():
     assert out.point_indices.shape == (64,)
 
 
-def test_reduce_perm_restores_point_grouped_order():
-    """Gathering the sorted stream through reduce_perm must reproduce the
-    pre-sort expansion layout: point p's entries at
+def test_pid_sort_restores_point_grouped_order():
+    """Stable-sorting the sorted stream by its point ids must reproduce
+    the pre-sort expansion layout: point p's entries at
     [offsets[p-1], offsets[p]) in tile-ascending order — the layout the
-    backward's per-point gradient reduction assumes."""
+    backward's per-point gradient reduction assumes (pipeline._render_bwd
+    sorts the gradient rows by BinningOutput.point_indices)."""
     rng = np.random.default_rng(3)
     p = 40
     depths = jnp.asarray(rng.uniform(0.5, 8.0, p).astype(np.float32))
@@ -153,11 +154,24 @@ def test_reduce_perm_restores_point_grouped_order():
     )
     total = int(out.total)
     assert 0 < total <= 256
-    regrouped = np.asarray(out.point_indices)[np.asarray(out.reduce_perm)]
+    pids = np.asarray(out.point_indices)
+    order = np.argsort(pids, kind="stable")
+    regrouped = pids[order]
     expected = np.repeat(np.arange(p, dtype=np.int32), counts)
     np.testing.assert_array_equal(regrouped[:total], expected)
     # Pads (point id P) stay in the tail.
     assert (regrouped[total:] == p).all()
+    # Stability: within each point's span the entries keep their
+    # (tile, depth)-sorted stream order, i.e. tiles strictly ascending
+    # (a point touches each tile at most once).
+    tile_of_slot = np.full(256, -1, np.int32)
+    for t, (s, e) in enumerate(np.asarray(out.tile_ranges)):
+        tile_of_slot[s:e] = t
+    tiles_regrouped = tile_of_slot[order]
+    offs = np.cumsum(counts)
+    for pt in range(p):
+        seg = tiles_regrouped[offs[pt] - counts[pt] : offs[pt]]
+        assert (np.diff(seg) > 0).all(), pt
     # Span ends line up with the inclusive count cumsum.
     np.testing.assert_array_equal(
         np.asarray(out.point_offsets), np.cumsum(counts).astype(np.int32)
