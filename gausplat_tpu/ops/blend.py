@@ -188,20 +188,22 @@ import os as _os
 
 EXP2_DENSITY = int(_os.environ.get("GAUSPLAT_EXP2", "0"))
 
-#: MXU offload (GAUSPLAT_MXU=1): evaluate the three inner pair matmuls —
-#: forward color accumulation [3,B]x[B,N], backward <g, c_n> [B,3]x[3,N],
-#: and d_color [B,N]x[N,3] — as lax.dot_general so Mosaic places them on
-#: the (otherwise idle) MXU instead of the VPU, which is the roofline wall
-#: at ~45% of peak (PERF.md). Exact contraction, different summation order
-#: (ULP-level). Opt-in until the in-kernel lowering is verified on-chip.
-MXU_BLEND = int(_os.environ.get("GAUSPLAT_MXU", "0"))
+#: MXU offload (GAUSPLAT_MXU, DEFAULT ON): evaluate the three inner pair
+#: matmuls — forward color accumulation [3,B]x[B,N], backward <g, c_n>
+#: [B,3]x[3,N], and d_color [B,N]x[N,3] — as lax.dot_general so Mosaic
+#: places them on the (otherwise idle) MXU instead of the VPU, which is
+#: the roofline wall at ~45% of peak (PERF.md). Exact contraction,
+#: different summation order (ULP-level). On-chip A/B (round 4, after the
+#: reduce rebuild): 154.4 -> 137.5 ms at precision=highest.
+MXU_BLEND = int(_os.environ.get("GAUSPLAT_MXU", "1"))
 
 #: Matmul precision for the MXU_BLEND dots. On TPU the DEFAULT dot precision
 #: is single-pass bf16, which showed a 3.8e-3 max image deviation on-chip
 #: (round-3 session: test_mxu_blend_matches_oracle failed on hardware while
 #: passing in CPU interpret mode) — ~1/255, a visible quantum. "highest"
-#: (multi-pass) restores f32-accurate contractions at ~3x the MXU time,
-#: which is still nearly free while the VPU is the wall.
+#: (multi-pass) restores f32-accurate contractions — and measured FASTER
+#: than "default" in the full chain (137.5 vs 148.1 ms, round-4 A/B), so
+#: it wins on both axes.
 MXU_PRECISION = _os.environ.get("GAUSPLAT_MXU_PRECISION", "highest")
 
 

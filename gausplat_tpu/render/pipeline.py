@@ -293,23 +293,26 @@ def _build_render_fn(
         # tile boundary, which alone is a 2x gather penalty.
         with jax.named_scope("gausplat.grad_reduce"):
             valid_count = jnp.minimum(entry_total, jnp.int32(capacity))
-            # Zero rows at padding positions (beyond any tile segment —
-            # the Pallas kernel leaves them unwritten). Their point id is
-            # already the sentinel P, sorting after every real entry.
-            slot_valid = (
-                jnp.arange(capacity, dtype=jnp.int32) < valid_count
-            )
-            entry_grads = jnp.where(slot_valid[None, :], entry_grads, 0)
+            # No padding mask is needed before the sort: every slot the
+            # backward kernel never writes (blocks past the last real
+            # step) lies at position >= valid_count, where sorted_pids
+            # already holds the sentinel P — the sort moves those slots
+            # (and any uninitialized garbage they carry, NaN included)
+            # past every real entry, and the span-end gather below only
+            # reads inclusive prefixes at indices <= valid_count - 1,
+            # which garbage at higher positions cannot reach.
             srt = jax.lax.sort(
                 (sorted_pids,)
                 + tuple(entry_grads[r] for r in range(entry_grads.shape[0])),
                 num_keys=1,
                 is_stable=True,
             )
-            grads_by_point = grad_rows_to_components(
-                jnp.stack(srt[1:]), packed
-            )
-            cs = prefix_sum(jnp.stack(grads_by_point))  # [9, capacity]
+            grads_by_point = grad_rows_to_components(srt[1:], packed)
+            # Row-by-row scans, then one stack for the placement gather:
+            # a batched [9, rows, 512] scan crosses the 8-sublane tile
+            # (4.2 vs 2.2 ms measured), and stacking before unpack would
+            # materialize an extra [9, capacity] copy.
+            cs = jnp.stack([prefix_sum(g) for g in grads_by_point])
             hi_raw = jnp.minimum(point_offsets, valid_count) - 1
             hi_idx = jnp.maximum(hi_raw, 0)
             hi = jnp.concatenate(

@@ -296,6 +296,49 @@ def main():
 
     run("full_new81", full_new81, g9)
 
+    # --- stream-construction variants (entry data via sort payload vs the
+    # current post-sort 9-row random gather) ---
+
+    pdata = jnp.asarray(rng.standard_normal((12, P + 1)).astype(np.float32))
+
+    def stream_gather9(g, a):
+        # Current build_entry_stream: 9-row random gather at sorted pids.
+        # (pdata is perturbed by the loop-varying g so XLA cannot hoist
+        # the gather out of the timing loop.)
+        src_data = pdata[:9] + g[0, 0]
+        return jnp.take(src_data, a["pid_sorted_order"], axis=1).sum()
+
+    run("stream_gather9", stream_gather9, g9)
+
+    def stream_sortpayload(g, a):
+        # Candidate: data rides the tile sort as payload (11 operands);
+        # the perturbed g rows stand in for the expanded data rows.
+        ops = (a["key_sortback"], a["pid_presort"]) + tuple(
+            g[r] for r in range(9)
+        )
+        out = jax.lax.sort(ops, num_keys=1, is_stable=True)
+        return sum(out[i].sum() for i in range(2, 11))
+
+    run("stream_sortpayload", stream_sortpayload, g9)
+
+    def presort_fill12(g, a):
+        # Expansion-order fill of 12 rows (3 key-pack + 9 data) at the
+        # sorted-repeated source map, split 8 + 4, + consume a g row so the
+        # fill cannot be hoisted.
+        src = a["pid_presort"]
+        d = pdata + g[0, 0]
+        top = jnp.take(d[:8], src, axis=1)
+        bot = jnp.take(d[8:12], src, axis=1)
+        return top.sum() + bot.sum()
+
+    run("presort_fill12", presort_fill12, g9)
+
+    def presort_fill3(g, a):
+        src = a["pid_presort"]
+        return jnp.take(pdata[:3] + g[0, 0], src, axis=1).sum()
+
+    run("presort_fill3", presort_fill3, g9)
+
     def full_new(g, a):
         # Candidate replacement: payload sort by point id (cheap on TPU),
         # batched prefix, ONE batched span gather.
