@@ -49,8 +49,13 @@ def ssim_map(a: jax.Array, b: jax.Array, size: int = 11, sigma: float = 1.5) -> 
     w = _gaussian_window(size, sigma)
     mu_a, mu_b = _blur(a, w), _blur(b, w)
     mu_aa, mu_bb, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
-    sig_a = _blur(a * a, w) - mu_aa
-    sig_b = _blur(b * b, w) - mu_bb
+    # The fused E[x^2] - E[x]^2 estimator can go slightly negative in f32
+    # (catastrophic cancellation on smooth bright regions), which lets the
+    # per-pixel SSIM exceed 1 and the D-SSIM loss go negative (observed
+    # once in the round-3 30k fit: loss -0.0097 at step 25400). Variances
+    # are nonnegative by definition; clamp the noise away.
+    sig_a = jnp.maximum(_blur(a * a, w) - mu_aa, 0.0)
+    sig_b = jnp.maximum(_blur(b * b, w) - mu_bb, 0.0)
     sig_ab = _blur(a * b, w) - mu_ab
     num = (2 * mu_ab + SSIM_C1) * (2 * sig_ab + SSIM_C2)
     den = (mu_aa + mu_bb + SSIM_C1) * (sig_a + sig_b + SSIM_C2)

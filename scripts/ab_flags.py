@@ -47,6 +47,13 @@ CONFIGS = {
         "GAUSPLAT_BLEND_GROUP": "32",
     },
     "mxu": {"GAUSPLAT_MXU": "1"},  # precision=highest (the default)
+    # Window size: the pair model favors smaller blocks (window pairs =
+    # capacity/B + nonempty_tiles windows of [B, 256]; boundary waste is
+    # ~B/2 per nonempty tile -> B=64 executes ~18% fewer window pairs
+    # than B=128 at the light tier) at the cost of more grid steps and a
+    # shorter prefix log factor.
+    "b64": {"BENCH_BLOCK": "64"},
+    "b96": {"BENCH_BLOCK": "96"},
     "mxu_dp": {"GAUSPLAT_MXU": "1", "GAUSPLAT_MXU_PRECISION": "default"},
     "heavy_mxu": {"GAUSPLAT_MXU": "1", "BENCH_TIERS": "primary,heavy"},
     # Quadratic-form-as-matmul: density exponent via one [B,6]x[6,256] MXU
