@@ -234,6 +234,14 @@ def _mxu_dot(a: jax.Array, b: jax.Array, dims) -> jax.Array:
 #: default path's ``density <= 1`` guard. Opt-in pending on-chip A/B.
 QUAD_MATMUL = int(_os.environ.get("GAUSPLAT_QUADM", "0"))
 
+#: Backward-only moment matmul (GAUSPLAT_QUADM_BWD=1): the backward's six
+#: per-entry gradient row-reductions as ONE [B, N] x [N, 6] MXU dot, while
+#: the forward density stays on the default VPU path. The combined QUADM
+#: package lost its on-chip A/B (225.8 vs 204.6 in the round-3 session);
+#: this probes whether the backward half alone wins now that MXU_BLEND is
+#: the default and the grad reduce no longer dominates.
+QUADM_BWD = int(_os.environ.get("GAUSPLAT_QUADM_BWD", "0"))
+
 #: Matmul precision for the QUADM dots: "highest" (3-pass bf16 = full f32,
 #: default — the A/B oracle tolerances need it) or "default" (single-pass
 #: bf16, ~2x less MXU time; fine for training-loop gradients).
@@ -535,7 +543,7 @@ def backward_batch(
     # per-pair chain from ~34 ops to ~19 (PERF.md roofline: the grad
     # reductions were the largest backward block).
     t0 = density * d_alpha
-    if QUAD_MATMUL:
+    if QUAD_MATMUL or QUADM_BWD:
         # Moment matmul: every reduction below is a contraction of
         # k = -opacity * t0 with a monomial in dx = xe - px, dy = ye - py,
         # so the six per-pair reductions collapse to ONE [B, N] x [N, 6]

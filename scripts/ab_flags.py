@@ -52,8 +52,14 @@ CONFIGS = {
     # ~B/2 per nonempty tile -> B=64 executes ~18% fewer window pairs
     # than B=128 at the light tier) at the cost of more grid steps and a
     # shorter prefix log factor.
+    # REFUTED on hardware: Mosaic requires the entry block's lane dim to
+    # be a 128-multiple, so windows below 128 fail BlockSpec validation.
     "b64": {"BENCH_BLOCK": "64"},
     "b96": {"BENCH_BLOCK": "96"},
+    # Backward-only moment matmul: REFUTED load-matched (149.8 vs 136.7
+    # base) — like full QUADM, the monomial dot's layout cost exceeds the
+    # VPU ops it removes on this chip.
+    "quadm_bwd": {"GAUSPLAT_QUADM_BWD": "1"},
     "mxu_dp": {"GAUSPLAT_MXU": "1", "GAUSPLAT_MXU_PRECISION": "default"},
     "heavy_mxu": {"GAUSPLAT_MXU": "1", "BENCH_TIERS": "primary,heavy"},
     # Quadratic-form-as-matmul: density exponent via one [B,6]x[6,256] MXU

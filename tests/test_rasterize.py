@@ -462,6 +462,35 @@ def test_quad_matmul_close_to_default(monkeypatch):
     np.testing.assert_allclose(a / scale, b / scale, atol=5e-4)
 
 
+def test_quadm_bwd_only_close_to_default(monkeypatch):
+    """GAUSPLAT_QUADM_BWD (backward moment matmul alone, forward density on
+    the default VPU path) matches the default backward to f32-reassociation
+    tolerance, and leaves the forward bit-identical."""
+    from gausplat_tpu.ops import blend
+
+    pd, binning, stream = _forward_pieces()
+    it0, tt0, ct0 = rasterize_forward_xla(
+        stream, num_tiles=TCX * TCY, tile_count_x=TCX
+    )
+    rng = np.random.default_rng(29)
+    gimg = rng.standard_normal((H, W, 3)).astype(np.float32)
+    gt = tile_image(jnp.asarray(gimg), TCX, TCY)
+    gdotc0 = jnp.sum(gt * it0, axis=1)
+    eg0 = rasterize_backward_xla(stream, gt, gdotc0, ct0, tile_count_x=TCX)
+    pp0 = jax.ops.segment_sum(eg0.T, stream.entry_point, num_segments=P + 1)[:P]
+
+    monkeypatch.setattr(blend, "QUADM_BWD", 1)
+    it1, tt1, ct1 = rasterize_forward_xla(
+        stream, num_tiles=TCX * TCY, tile_count_x=TCX
+    )
+    np.testing.assert_array_equal(np.asarray(it1), np.asarray(it0))
+    eg1 = rasterize_backward_xla(stream, gt, gdotc0, ct0, tile_count_x=TCX)
+    pp1 = jax.ops.segment_sum(eg1.T, stream.entry_point, num_segments=P + 1)[:P]
+    a, b = np.asarray(pp1), np.asarray(pp0)
+    scale = np.maximum(np.abs(b).max(axis=0, keepdims=True), 1e-6)
+    np.testing.assert_allclose(a / scale, b / scale, atol=5e-4)
+
+
 def test_quad_matmul_interpret_matches(monkeypatch):
     """QUADM through the Pallas kernels (interpret mode) vs the QUADM XLA
     fallback — guards the in-kernel dot_general plumbing."""
