@@ -10,6 +10,8 @@ Tiers (all reported in the one JSON line, budget permitting):
   entries (reference-parity precision).
 - "ms_bf16": same workload with packed bf16-pair entry rows (the
   mixed-precision performance config; positions/accumulation stay f32).
+- "ms_forward": pure rendering, no backward (the reference's primary
+  inference use case; the grad machinery is DCE'd from the chain).
 - "ms_heavy": BENCH_SCALE=3.5 (~7-8 entries per visible point — the
   honest garden-class expansion per E[T/P] guidance, SURVEY §6).
 
@@ -158,7 +160,7 @@ def _make_inputs(point_count, width, height, scale_mult=1.0):
 
 def _measure_tier(
     jax, point_count, width, height, scale_mult, capacity, block_size,
-    entry_dtype, iters,
+    entry_dtype, iters, forward_only=False,
 ):
     """Compile one dynamic-count chain and return (ms, stats dict)."""
     import jax.numpy as jnp
@@ -182,7 +184,16 @@ def _measure_tier(
             jnp.sum((out.radii > 0).astype(jnp.int32)),
         )
 
-    grad_fn = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4), has_aux=True)
+    if forward_only:
+        # Pure rendering (inference) cost: no custom-VJP backward, so the
+        # grad reduce and per-entry gradient rows are DCE'd from the chain.
+        def grad_fn(csh, op, pos, rot, scal):
+            v, aux = loss(csh, op, pos, rot, scal)
+            return (v, aux), (csh[:1, :1],) * 5
+    else:
+        grad_fn = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3, 4), has_aux=True
+        )
 
     # Perturb POSITIONS per step: every pipeline stage depends on them,
     # so XLA cannot hoist any stage out of the chain (perturbing a
@@ -273,7 +284,9 @@ def main():
     scale_mult = float(os.environ.get("BENCH_SCALE", 1.0))
     # Amortized timing needs >= 2 chained steps ((n-run - 1-run) / (n - 1)).
     iters = max(int(os.environ.get("BENCH_ITERS", 4)), 2)
-    tiers = os.environ.get("BENCH_TIERS", "primary,bf16,heavy").split(",")
+    tiers = os.environ.get(
+        "BENCH_TIERS", "primary,bf16,forward,heavy"
+    ).split(",")
 
     # Primary: reference-parity f32 entries (per round-2 advisor: keep the
     # headline precision-stable across rounds; bf16 is reported alongside).
@@ -305,6 +318,14 @@ def main():
                 block_size, "bf16", iters,
             )
             RESULT["ms_bf16"] = round(ms_bf16, 3)
+        if "forward" in tiers and _have_time(0.65):
+            # Pure rendering (no backward): the reference's primary use
+            # case is inference-time rasterization.
+            ms_fwd, _ = _measure_tier(
+                jax, point_count, width, height, scale_mult, capacity,
+                block_size, entry_dtype, iters, forward_only=True,
+            )
+            RESULT["ms_forward"] = round(ms_fwd, 3)
         if "heavy" in tiers and _have_time(0.75):
             # Garden-class heavy expansion (~7-8 entries/visible): the
             # honest real-scene load tier (VERDICT round-2 Weak #3).
