@@ -27,6 +27,8 @@ import jax.numpy as jnp
 
 from gausplat_tpu import GaussianScene, Points, RenderOptions, View, render
 from gausplat_tpu.train import TrainConfig, Trainer
+from gausplat_tpu.train.densify import DensifyConfig
+from gausplat_tpu.train.optimizer import OptimizerConfig
 
 args = [a for a in sys.argv[1:] if a != "--full"]
 full = "--full" in sys.argv or (args and int(args[0]) >= 20_000)
@@ -73,6 +75,15 @@ if full:
     # count -> a recompile through the tunnel; 300 keeps the run's compile
     # budget sane while still exercising ~48 growth events), opacity
     # resets every 3000, SH warmup to degree 3 by step 3000.
+    # scene_extent: the standard 3DGS recipe keys the position lr AND the
+    # densify size thresholds to the camera extent (INRIA's
+    # spatial_lr_scale = 1.1 x camera radius). With the schedule now
+    # correctly following the global step (optimizer.seed_count), leaving
+    # extent at 1.0 makes the position lr ~4x too small for this orbit.
+    cam_pos = np.stack([np.asarray(v.view_position) for v in views])
+    extent = 1.1 * float(
+        np.linalg.norm(cam_pos - cam_pos.mean(0), axis=1).max()
+    )
     cfg = TrainConfig(
         render=opts,
         densify_from=500,
@@ -80,6 +91,8 @@ if full:
         densify_interval=300,
         sh_warmup_interval=1_000,
         opacity_reset_interval=3_000,
+        optimizer=OptimizerConfig(scene_extent=extent),
+        densify=DensifyConfig(scene_extent=extent),
     )
 else:
     cfg = TrainConfig(
