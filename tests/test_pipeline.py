@@ -109,6 +109,44 @@ def test_overflow_reported():
     assert int(out.tile_point_total) >= 0
 
 
+def test_overflow_truncation_gradients_exact():
+    """Gradients under capacity truncation match finite differences of the
+    truncated render: the reduce's span-end clamp (hi_idx = min(offsets,
+    valid_count) - 1) must account every surviving entry to its point and
+    none of the dropped ones. Perturbing colors_sh keeps the binning (and
+    so the truncation pattern) bit-identical, making central differences
+    exact to f32 noise."""
+    scene = _scene(200)
+    small = RenderOptions(backend="xla", tile_entry_capacity=64, block_size=64)
+    view = _view()
+    out = render(scene, view, small)
+    assert int(out.tile_point_total) > 64  # truncation actually happens
+
+    def loss(csh):
+        s = GaussianScene(
+            csh, scene.opacities, scene.positions, scene.rotations,
+            scene.scalings,
+        )
+        return jnp.mean(render(s, view, small).colors_rgb_2d ** 2)
+
+    g = np.asarray(jax.grad(loss)(scene.colors_sh))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0
+    rng = np.random.default_rng(11)
+    base = np.asarray(scene.colors_sh)
+    eps = 1e-2
+    for _ in range(6):
+        i = int(rng.integers(0, base.shape[0]))
+        j = int(rng.integers(0, 3))  # DC columns: nonzero for deg-0 path
+        up, dn = base.copy(), base.copy()
+        up[i, j] += eps
+        dn[i, j] -= eps
+        fd = (float(loss(jnp.asarray(up))) - float(loss(jnp.asarray(dn)))) / (
+            2 * eps
+        )
+        np.testing.assert_allclose(g[i, j], fd, rtol=2e-2, atol=2e-6)
+
+
 def test_validation_errors():
     scene = _scene(10)
     with pytest.raises(UnsupportedSphericalHarmonicsDegreeError):
