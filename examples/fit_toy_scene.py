@@ -23,7 +23,10 @@ from gausplat_tpu import (
     encode_polygon,
     render,
 )
+import dataclasses
+
 from gausplat_tpu.train import TrainConfig, Trainer, psnr
+from gausplat_tpu.train.densify import camera_extent
 
 
 def make_views(n, size=128):
@@ -77,6 +80,14 @@ def main(iterations=400):
         densify_interval=100,
         sh_warmup_interval=100,
         opacity_reset_interval=10**9,
+    )
+    # The densify size thresholds and the position lr both key to the
+    # camera extent (standard 3DGS spatial_lr_scale).
+    extent = camera_extent(views)
+    config = dataclasses.replace(
+        config,
+        densify=dataclasses.replace(config.densify, scene_extent=extent),
+        optimizer=dataclasses.replace(config.optimizer, scene_extent=extent),
     )
     trainer = Trainer(start, size, size, config)
 

@@ -68,8 +68,13 @@ def main() -> None:
         iterations=iters,
         render=RenderOptions(entry_dtype="bf16"),
     )
+    # Both extent consumers: the densify size thresholds AND the position
+    # learning rate (the standard recipe's spatial_lr_scale) key to the
+    # camera extent.
     cfg = dataclasses.replace(
-        cfg, densify=dataclasses.replace(cfg.densify, scene_extent=extent)
+        cfg,
+        densify=dataclasses.replace(cfg.densify, scene_extent=extent),
+        optimizer=dataclasses.replace(cfg.optimizer, scene_extent=extent),
     )
     trainer = Trainer(scene, w, h, cfg)
     history = trainer.fit_scan(views, targets, iters)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from gausplat_tpu import GaussianScene, Points, RenderOptions, View, render
 from gausplat_tpu.train import TrainConfig, Trainer
-from gausplat_tpu.train.densify import DensifyConfig
+from gausplat_tpu.train.densify import DensifyConfig, camera_extent
 from gausplat_tpu.train.optimizer import OptimizerConfig
 
 args = [a for a in sys.argv[1:] if a != "--full"]
@@ -80,10 +80,7 @@ if full:
     # spatial_lr_scale = 1.1 x camera radius). With the schedule now
     # correctly following the global step (optimizer.seed_count), leaving
     # extent at 1.0 makes the position lr ~4x too small for this orbit.
-    cam_pos = np.stack([np.asarray(v.view_position) for v in views])
-    extent = 1.1 * float(
-        np.linalg.norm(cam_pos - cam_pos.mean(0), axis=1).max()
-    )
+    extent = camera_extent(views)
     cfg = TrainConfig(
         render=opts,
         densify_from=500,
