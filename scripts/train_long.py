@@ -119,6 +119,11 @@ while step < iters:
     }
     curve.append(rec)
     print(json.dumps(rec), flush=True)
+    # Incremental write: a fit killed by a session/round boundary still
+    # leaves the curve-so-far on disk (the 30k schedule can outlive a
+    # round's wall clock).
+    with open(out_path, "w") as f:
+        json.dump(curve, f)
 
 with open(out_path, "w") as f:
     json.dump(curve, f)
