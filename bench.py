@@ -351,7 +351,24 @@ def main():
         or (k.startswith("BENCH_") and k not in ("BENCH_BUDGET_S", "BENCH_SKIP_PROBE"))
     ]
     if jax.devices()[0].platform == "tpu" and not overrides:
-        snap = dict(RESULT)
+        # Merge over the previous snapshot: a budget-truncated run (e.g. the
+        # r03 driver capture got only primary+forward) must not drop the
+        # secondary-tier fields (ms_bf16 / ms_heavy / ...) the prior
+        # snapshot carried — the stale fallback should always report the
+        # fullest tier set measured at default config.
+        snap = {}
+        if LAST_TPU_SNAPSHOT.exists():
+            try:
+                prev = json.loads(LAST_TPU_SNAPSHOT.read_text())
+                snap = {
+                    k: v
+                    for k, v in prev.items()
+                    if k in ("ms_bf16", "ms_forward", "ms_heavy",
+                             "heavy_entries_per_visible")
+                }
+            except (ValueError, OSError):
+                pass
+        snap.update(RESULT)
         snap["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         LAST_TPU_SNAPSHOT.write_text(json.dumps(snap) + "\n")
     elif overrides:

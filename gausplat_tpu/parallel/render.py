@@ -32,6 +32,7 @@ so the signal equals the single-chip value exactly — see
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -105,6 +106,19 @@ def stack_cameras(views) -> Camera:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
 
 
+@functools.lru_cache(maxsize=64)
+def _make_batched_render(image_width, image_height, point_count, options):
+    """Jitted, cached vmapped single-view core (keyed on the static config).
+
+    Without the cache every :func:`render_views` call re-traced the vmapped
+    pipeline — recompiling on each batched-serving invocation.
+    """
+    fn = _core(image_width, image_height, point_count, options)
+    return jax.jit(
+        jax.vmap(fn, in_axes=(None, None, None, None, None, None, 0))
+    )
+
+
 def render_views(
     scene: GaussianScene,
     cameras: Camera,  # batched Camera pytree, leading axis V
@@ -113,9 +127,10 @@ def render_views(
     options: RenderOptions = RenderOptions(),
 ) -> RenderOutput:
     """Render a batch of views on one device (vmapped single-view core)."""
-    fn = _core(image_width, image_height, scene.point_count, options)
+    batched = _make_batched_render(
+        image_width, image_height, scene.point_count, options
+    )
     ref = jnp.zeros((scene.point_count,), jnp.float32)
-    batched = jax.vmap(fn, in_axes=(None, None, None, None, None, None, 0))
     return batched(
         scene.colors_sh, scene.opacities, scene.positions, scene.rotations,
         scene.scalings, ref, cameras,

@@ -121,6 +121,69 @@ def _capacity(point_count: int, options: RenderOptions) -> int:
     return (cap + b - 1) // b * b
 
 
+def reduce_entry_grads(
+    entry_grads: jax.Array,  # [R, capacity] rows at sorted-entry positions
+    sorted_pids: jax.Array,  # [capacity] int32 source point (P = padding)
+    point_offsets: jax.Array,  # [P] inclusive cumsum of touched-tile counts
+    entry_total: jax.Array,  # [] int32 true entry count
+    capacity: int,
+    packed: bool,
+) -> list:
+    """Deterministic, scatter-free per-point gradient accumulation.
+
+    Replaces the reference's atomicAdd (rasterize_backward/kernel.wgsl:
+    255-269): ONE stable payload sort groups the per-entry grad rows by
+    point id (within a point, entries keep their tile-ascending stream
+    order), then per-row prefix sums differenced at each point's span end
+    yield the per-point totals. On this chip the multi-operand lax.sort is
+    the FAST permutation primitive (~6 ms at 2.4M rows) while every random
+    gather/scatter formulation measured 12-190 ms (scripts/prof_reduce.py:
+    full_current 124 ms with the round-3 inverse-permutation gather vs
+    35 ms for this sort-based form). Returns the 9 per-point component
+    sums [color_r, color_g, color_b, conic_xx, conic_xy, conic_yy,
+    opacity(outer), pos2d_x, pos2d_y].
+    """
+    with jax.named_scope("gausplat.grad_reduce"):
+        valid_count = jnp.minimum(entry_total, jnp.int32(capacity))
+        # No padding mask is needed before the sort: every slot the
+        # backward kernel never writes (blocks past the last real
+        # step) lies at position >= valid_count, where sorted_pids
+        # already holds the sentinel P — the sort moves those slots
+        # (and any uninitialized garbage they carry, NaN included)
+        # past every real entry, and the span-end gather below only
+        # reads inclusive prefixes at indices <= valid_count - 1,
+        # which garbage at higher positions cannot reach.
+        srt = jax.lax.sort(
+            (sorted_pids,)
+            + tuple(entry_grads[r] for r in range(entry_grads.shape[0])),
+            num_keys=1,
+            is_stable=True,
+        )
+        grads_by_point = grad_rows_to_components(srt[1:], packed)
+        # Row-by-row scans, then one stack for the placement gather:
+        # a batched [9, rows, 512] scan crosses the 8-sublane tile
+        # (4.2 vs 2.2 ms measured), and stacking before unpack would
+        # materialize an extra [9, capacity] copy.
+        cs = jnp.stack([prefix_sum(g) for g in grads_by_point])
+        hi_raw = jnp.minimum(point_offsets, valid_count) - 1
+        hi_idx = jnp.maximum(hi_raw, 0)
+        # The span-end gather is split [:8] / [8]: a 9-row column slice
+        # crosses the 8-sublane tile boundary, alone a 2x gather penalty.
+        hi = jnp.concatenate(
+            [
+                jnp.take(cs[:8], hi_idx, axis=1),
+                jnp.take(cs[8], hi_idx)[None],
+            ],
+            axis=0,
+        )
+        hi = jnp.where(hi_raw[None, :] >= 0, hi, 0.0)
+        lo = jnp.concatenate(
+            [jnp.zeros((hi.shape[0], 1), hi.dtype), hi[:, :-1]], axis=1
+        )
+        d_all = hi - lo
+        return [d_all[r] for r in range(d_all.shape[0])]
+
+
 def _build_render_fn(
     image_width: int,
     image_height: int,
@@ -291,43 +354,10 @@ def _build_render_fn(
         # vs 35 ms for this sort-based form). The span-end gather is split
         # [:8] / [8] because a 9-row column slice crosses the 8-sublane
         # tile boundary, which alone is a 2x gather penalty.
-        with jax.named_scope("gausplat.grad_reduce"):
-            valid_count = jnp.minimum(entry_total, jnp.int32(capacity))
-            # No padding mask is needed before the sort: every slot the
-            # backward kernel never writes (blocks past the last real
-            # step) lies at position >= valid_count, where sorted_pids
-            # already holds the sentinel P — the sort moves those slots
-            # (and any uninitialized garbage they carry, NaN included)
-            # past every real entry, and the span-end gather below only
-            # reads inclusive prefixes at indices <= valid_count - 1,
-            # which garbage at higher positions cannot reach.
-            srt = jax.lax.sort(
-                (sorted_pids,)
-                + tuple(entry_grads[r] for r in range(entry_grads.shape[0])),
-                num_keys=1,
-                is_stable=True,
-            )
-            grads_by_point = grad_rows_to_components(srt[1:], packed)
-            # Row-by-row scans, then one stack for the placement gather:
-            # a batched [9, rows, 512] scan crosses the 8-sublane tile
-            # (4.2 vs 2.2 ms measured), and stacking before unpack would
-            # materialize an extra [9, capacity] copy.
-            cs = jnp.stack([prefix_sum(g) for g in grads_by_point])
-            hi_raw = jnp.minimum(point_offsets, valid_count) - 1
-            hi_idx = jnp.maximum(hi_raw, 0)
-            hi = jnp.concatenate(
-                [
-                    jnp.take(cs[:8], hi_idx, axis=1),
-                    jnp.take(cs[8], hi_idx)[None],
-                ],
-                axis=0,
-            )
-            hi = jnp.where(hi_raw[None, :] >= 0, hi, 0.0)
-            lo = jnp.concatenate(
-                [jnp.zeros((hi.shape[0], 1), hi.dtype), hi[:, :-1]], axis=1
-            )
-            d_all = hi - lo
-            d_comp = [d_all[r] for r in range(d_all.shape[0])]
+        d_comp = reduce_entry_grads(
+            entry_grads, sorted_pids, point_offsets, entry_total, capacity,
+            packed,
+        )
 
         # Opacity: chain through the sigmoid (the reference applies it
         # in-kernel, rasterize_backward/kernel.wgsl:229).
@@ -391,6 +421,32 @@ def _build_render_fn(
 def _make_render_fn(*cfg):
     """Jitted, cached variant of :func:`_build_render_fn`."""
     return jax.jit(_build_render_fn(*cfg))
+
+
+@functools.lru_cache(maxsize=64)
+def _make_render_views_fn(mode, *cfg):
+    """Jitted, cached batched-render builder for :func:`render_views`.
+
+    Keyed on (mode, static render config); the returned function takes the
+    5 scene params + [V, P] refs + stacked cameras. Without this cache every
+    ``render_views`` call wrapped a fresh ``jax.jit`` and re-traced —
+    defeating the dispatch-amortization rationale for batched serving.
+    (A new batch size V still retraces: the shapes change.)
+    """
+    fn = _build_render_fn(*cfg)
+
+    def one(csh, op, pos, rot, scal, ref, camera):
+        return fn(csh, op, pos, rot, scal, ref, camera)
+
+    if mode == "vmap":
+        return jax.jit(jax.vmap(one, in_axes=(None,) * 5 + (0, 0)))
+
+    def mapped(csh, op, pos, rot, scal, refs, cameras):
+        return jax.lax.map(
+            lambda rc: one(csh, op, pos, rot, scal, *rc), (refs, cameras)
+        )
+
+    return jax.jit(mapped)
 
 
 def render(
@@ -490,7 +546,8 @@ def render_views(
     if point_count == 0:
         raise MismatchedPointCountError(0, "non-zero")
 
-    fn = _build_render_fn(
+    fn = _make_render_views_fn(
+        mode,
         w,
         h,
         point_count,
@@ -508,20 +565,12 @@ def render_views(
         lambda *xs: jnp.stack(xs), *[Camera.from_view(v) for v in views]
     )
     refs = jnp.zeros((len(views), point_count), jnp.float32)
-
-    def one(ref, camera):
-        return fn(
-            scene.colors_sh,
-            scene.opacities,
-            scene.positions,
-            scene.rotations,
-            scene.scalings,
-            ref,
-            camera,
-        )
-
-    if mode == "vmap":
-        return jax.jit(jax.vmap(one))(refs, cameras)
-    return jax.jit(lambda r, c: jax.lax.map(lambda rc: one(*rc), (r, c)))(
-        refs, cameras
+    return fn(
+        scene.colors_sh,
+        scene.opacities,
+        scene.positions,
+        scene.rotations,
+        scene.scalings,
+        refs,
+        cameras,
     )

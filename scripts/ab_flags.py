@@ -84,6 +84,48 @@ CONFIGS = {
         "GAUSPLAT_BLEND_GROUP": "32",
         "GAUSPLAT_MXU": "1",
     },
+    # Round-4 decisive re-run (VERDICT #1): group-skip at the CURRENT
+    # defaults (post reduce-rebuild, MXU highest on). pb_* measure the f32
+    # and bf16 primary tiers in one run; hv_* make the heavy garden-class
+    # workload the PRIMARY tier (one chain compile instead of two).
+    "pb_base": {"BENCH_TIERS": "primary,bf16"},
+    "pb_gs16": {
+        "BENCH_TIERS": "primary,bf16",
+        "GAUSPLAT_GROUP_SKIP": "1",
+        "GAUSPLAT_BLEND_GROUP": "16",
+    },
+    "pb_gs32": {
+        "BENCH_TIERS": "primary,bf16",
+        "GAUSPLAT_GROUP_SKIP": "1",
+        "GAUSPLAT_BLEND_GROUP": "32",
+    },
+    "pb_gs64": {
+        "BENCH_TIERS": "primary,bf16",
+        "GAUSPLAT_GROUP_SKIP": "1",
+        "GAUSPLAT_BLEND_GROUP": "64",
+    },
+    "hv_base": {
+        "BENCH_SCALE": "3.5",
+        "BENCH_CAPACITY": "8388608",
+        "BENCH_BLOCK": "256",
+        "BENCH_ENTRY_DTYPE": "bf16",
+    },
+    "hv_gs32": {
+        "BENCH_SCALE": "3.5",
+        "BENCH_CAPACITY": "8388608",
+        "BENCH_BLOCK": "256",
+        "BENCH_ENTRY_DTYPE": "bf16",
+        "GAUSPLAT_GROUP_SKIP": "1",
+        "GAUSPLAT_BLEND_GROUP": "32",
+    },
+    "hv_gs64": {
+        "BENCH_SCALE": "3.5",
+        "BENCH_CAPACITY": "8388608",
+        "BENCH_BLOCK": "256",
+        "BENCH_ENTRY_DTYPE": "bf16",
+        "GAUSPLAT_GROUP_SKIP": "1",
+        "GAUSPLAT_BLEND_GROUP": "64",
+    },
     "heavy_base": {"BENCH_TIERS": "primary,heavy"},
     "heavy_exp2_gs32": {
         "GAUSPLAT_EXP2": "1",

@@ -298,3 +298,42 @@ def test_render_views_batched_matches_single():
         render_views(scene, [views[0], _view(w=32, h=32)], OPTS)
     with pytest.raises(ValueError):
         render_views(scene, [], OPTS)
+
+
+@pytest.mark.quick
+def test_render_views_repeat_call_hits_cache():
+    """Repeated render_views calls with identical static config must reuse
+    the cached jitted builder (round-3 VERDICT Weak #6: the old inline
+    jax.jit wrapper re-traced — and recompiled — per serving call)."""
+    from gausplat_tpu import render_views
+    from gausplat_tpu.render import pipeline as pl_mod
+    from gausplat_tpu.parallel import render as par_render
+
+    scene = _scene()
+    views = [
+        View(
+            field_of_view_x=1.0,
+            field_of_view_y=0.8,
+            image_height=48,
+            image_width=64,
+            view_position=[0.0, 0.0, -4.0],
+            view_transform=View.transform(np.eye(3), [0.0, 0.0, 4.0]),
+        )
+    ] * 2
+
+    pl_mod._make_render_views_fn.cache_clear()
+    render_views(scene, views, OPTS)
+    before = pl_mod._make_render_views_fn.cache_info()
+    render_views(scene, views, OPTS)
+    after = pl_mod._make_render_views_fn.cache_info()
+    assert after.hits == before.hits + 1
+    assert after.misses == before.misses
+
+    cams = par_render.stack_cameras(views)
+    par_render._make_batched_render.cache_clear()
+    par_render.render_views(scene, cams, 64, 48, OPTS)
+    before = par_render._make_batched_render.cache_info()
+    par_render.render_views(scene, cams, 64, 48, OPTS)
+    after = par_render._make_batched_render.cache_info()
+    assert after.hits == before.hits + 1
+    assert after.misses == before.misses
