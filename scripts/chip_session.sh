@@ -36,7 +36,7 @@ remaining() { echo $(( DEADLINE - $(date +%s) )); }
 launch_train_long() {
   echo "--- train_long --full (background, ~4 h; writes into the repo)"
   nohup timeout 21600 python scripts/train_long.py 30000 \
-    "$REPO/train_long_r03.json" --full > /tmp/train_long_full.log 2>&1 &
+    "$REPO/train_long_r04.json" --full > /tmp/train_long_full.log 2>&1 &
   echo $! > /tmp/train_long.pid
   echo "train_long pid $(cat /tmp/train_long.pid)"
 }
