@@ -93,6 +93,51 @@ def test_grad_reduce_2m_vs_segment_sum():
         )
 
 
+def test_grad_reduce_packed_matches_segment_sum():
+    """The bf16-pair packed reduce path (6-operand sort + unpack) at 1M+
+    entries: grads are small integers (exactly bf16-representable), so the
+    packed result must equal the f64 segment-sum oracle bit-for-bit."""
+    from gausplat_tpu.ops.blend import _bits, pack_pair
+    from gausplat_tpu.render.pipeline import reduce_entry_grads
+
+    rng = np.random.default_rng(17)
+    point_count, capacity = 150_000, 1 << 20
+    sorted_pids, offsets, comp, total = _make_reduce_case(
+        rng, point_count, capacity, rows=9
+    )
+    comp = np.nan_to_num(comp, nan=0.0)  # re-poison as int garbage below
+    c = [jnp.asarray(comp[r]) for r in range(9)]
+    rows = jnp.stack(
+        [
+            pack_pair(c[0], c[1]),
+            pack_pair(c[2], c[6]),
+            pack_pair(c[3], c[4]),
+            pack_pair(c[5], jnp.zeros_like(c[5])),
+            _bits(c[7]),
+            _bits(c[8]),
+        ]
+    )
+    poison = jnp.asarray(
+        rng.integers(-(2**31), 2**31 - 1, (6, capacity - total), np.int64)
+        .astype(np.int32)
+    )
+    rows = rows.at[:, total:].set(poison)
+
+    got = jax.jit(
+        lambda g, p, o, t: reduce_entry_grads(
+            g, p, o, t, capacity, packed=True
+        )
+    )(rows, jnp.asarray(sorted_pids), jnp.asarray(offsets), jnp.int32(total))
+
+    valid = sorted_pids[:total]
+    for r in range(9):
+        want = np.zeros(point_count, np.float64)
+        np.add.at(want, valid, comp[r, :total].astype(np.float64))
+        np.testing.assert_array_equal(
+            np.asarray(got[r]), want.astype(np.float32), err_msg=f"row {r}"
+        )
+
+
 def test_grad_reduce_truncated_capacity():
     """When entry_total exceeds capacity (overflow frame), only the first
     `capacity` sorted entries contribute — matching the forward's
