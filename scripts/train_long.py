@@ -37,7 +37,16 @@ full = "--full" in sys.argv or (args and int(args[0]) >= 20_000)
 iters = int(args[0]) if args else (30_000 if full else 10_000)
 out_path = args[1] if len(args) > 1 else "/tmp/train_long.json"
 size = 256
-opts = RenderOptions(tile_entry_capacity=1 << 17, block_size=256)
+# TRAIN_ENTRY_DTYPE=bf16 measures mixed-precision training convergence
+# (packed bf16-pair entry rows + 6-operand grad-row reduce); default f32
+# is the reference-parity evidence configuration.
+import os
+
+opts = RenderOptions(
+    tile_entry_capacity=1 << 17,
+    block_size=256,
+    entry_dtype=os.environ.get("TRAIN_ENTRY_DTYPE", "f32"),
+)
 rng = np.random.default_rng(0)
 
 p = 500
