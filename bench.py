@@ -242,7 +242,13 @@ def _measure_tier(
 def main():
     signal.signal(signal.SIGTERM, _emit_and_exit)
     signal.signal(signal.SIGINT, _emit_and_exit)
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 480))
+    # Default budget sized for the measured tunnel reality: each tier's
+    # chain build costs ~420-455 s even with a warm .jax_cache (the axon
+    # remote-compile endpoint does not honor the local persistent cache).
+    # A driver that hard-kills earlier still gets a full JSON line: the
+    # SIGTERM handler emits the fresh tiers measured so far plus the
+    # `*_cached` snapshot values for the rest.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1500))
 
     # Probe the device in a killable subprocess FIRST: jax.devices() blocks
     # forever while the hosted TPU tunnel is down (it did for hours in
@@ -311,22 +317,34 @@ def main():
     def _have_time(frac):
         return (time.time() - T_START) < budget_s * frac
 
+    # Secondary tiers cost a ~5-7 min chain build EACH through the tunnel
+    # (the remote-compile endpoint does not honor the local persistent
+    # cache — measured 435 s on a fully warm .jax_cache), so a
+    # budget-truncated run is the common case for the driver capture.
+    # Two mitigations: (a) run the HEAVY tier first — it is the
+    # co-headline (PERF.md reporting policy), bf16/forward are secondary;
+    # (b) pre-fill each truncated tier from the last default-config
+    # on-chip snapshot as an explicit `<tier>_cached` field (dropped the
+    # moment the fresh measurement lands), so the one JSON line always
+    # carries the full tier picture with honest provenance.
+    if LAST_TPU_SNAPSHOT.exists() and not int(os.environ.get("BENCH_SKIP_PROBE", "0")):
+        try:
+            _prev = json.loads(LAST_TPU_SNAPSHOT.read_text())
+            for key in ("ms_heavy", "heavy_entries_per_visible",
+                        "ms_bf16", "ms_forward"):
+                if key in _prev:
+                    RESULT[key + "_cached"] = _prev[key]
+            if "measured_at" in _prev:
+                RESULT["cached_tiers_from"] = _prev["measured_at"]
+        except (ValueError, OSError):
+            pass
+
+    def _fresh(key, value):
+        RESULT[key] = value
+        RESULT.pop(key + "_cached", None)
+
     try:
-        if "bf16" in tiers and entry_dtype == "f32" and _have_time(0.55):
-            ms_bf16, _ = _measure_tier(
-                jax, point_count, width, height, scale_mult, capacity,
-                block_size, "bf16", iters,
-            )
-            RESULT["ms_bf16"] = round(ms_bf16, 3)
-        if "forward" in tiers and _have_time(0.65):
-            # Pure rendering (no backward): the reference's primary use
-            # case is inference-time rasterization.
-            ms_fwd, _ = _measure_tier(
-                jax, point_count, width, height, scale_mult, capacity,
-                block_size, entry_dtype, iters, forward_only=True,
-            )
-            RESULT["ms_forward"] = round(ms_fwd, 3)
-        if "heavy" in tiers and _have_time(0.75):
+        if "heavy" in tiers and _have_time(0.5):
             # Garden-class heavy expansion (~7-8 entries/visible): the
             # honest real-scene load tier (VERDICT round-2 Weak #3).
             ms_heavy, hstats = _measure_tier(
@@ -336,10 +354,26 @@ def main():
                 int(os.environ.get("BENCH_HEAVY_BLOCK", 256)),
                 "bf16", iters,
             )
-            RESULT["ms_heavy"] = round(ms_heavy, 3)
-            RESULT["heavy_entries_per_visible"] = hstats["entries_per_visible"]
+            _fresh("ms_heavy", round(ms_heavy, 3))
+            _fresh("heavy_entries_per_visible", hstats["entries_per_visible"])
+        if "bf16" in tiers and entry_dtype == "f32" and _have_time(0.7):
+            ms_bf16, _ = _measure_tier(
+                jax, point_count, width, height, scale_mult, capacity,
+                block_size, "bf16", iters,
+            )
+            _fresh("ms_bf16", round(ms_bf16, 3))
+        if "forward" in tiers and _have_time(0.8):
+            # Pure rendering (no backward): the reference's primary use
+            # case is inference-time rasterization.
+            ms_fwd, _ = _measure_tier(
+                jax, point_count, width, height, scale_mult, capacity,
+                block_size, entry_dtype, iters, forward_only=True,
+            )
+            _fresh("ms_forward", round(ms_fwd, 3))
     except Exception as e:  # secondary tiers must never kill the headline
         _progress(f"secondary tier failed: {e!r}")
+    if not any(k.endswith("_cached") for k in RESULT):
+        RESULT.pop("cached_tiers_from", None)  # every tier measured fresh
 
     # Refresh the tunnel-down fallback snapshot ONLY for a default-config
     # run: the A/B driver exports GAUSPLAT_*/BENCH_* flags and often runs
@@ -368,7 +402,13 @@ def main():
                 }
             except (ValueError, OSError):
                 pass
-        snap.update(RESULT)
+        snap.update(
+            {
+                k: v
+                for k, v in RESULT.items()
+                if not k.endswith("_cached") and k != "cached_tiers_from"
+            }
+        )
         snap["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         LAST_TPU_SNAPSHOT.write_text(json.dumps(snap) + "\n")
     elif overrides:
