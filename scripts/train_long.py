@@ -9,7 +9,7 @@ starts from a fresh 150-point cloud. Round-robin single-view steps
 (SURVEY.md section 5 training loop; the reference crate itself contains no
 trainer — gausplat-trainer's loop is the parity target).
 
-Usage: python scripts/train_long.py [iters] [out.json] [--full]
+Usage: python scripts/train_long.py [iters] [out.json] [--full] [--lego]
 
 ``--full`` (or iters >= 20000) switches to the config-4 analogue FULL
 schedule — the standard 3DGS recipe the TrainConfig defaults encode:
@@ -17,6 +17,14 @@ densify to step 15000, opacity resets every 3000 steps inside the densify
 window, SH warmup every 1000 — exercising the late-schedule paths
 (post-densify plateau, opacity-reset recovery, capacity growth) that the
 10k run never reaches.
+
+``--lego`` (implies --full) scales the scene to lego-class (BASELINE
+config-4 resolution): 800x800 targets from a 4,000-Gaussian ground truth
+over 16 orbit views (two elevation rings), training from a 2,000-point
+SfM-like init (ground-truth positions + noise — the synthetic analogue of
+an SfM point cloud) and densifying to O(10^5) points. This is the
+reference-scale training-evidence run; the default 256x256 toy remains
+for quick convergence checks.
 """
 import json
 import sys
@@ -30,53 +38,96 @@ from gausplat_tpu.train import TrainConfig, Trainer
 from gausplat_tpu.train.densify import DensifyConfig, camera_extent
 from gausplat_tpu.train.optimizer import OptimizerConfig
 
-args = [a for a in sys.argv[1:] if a != "--full"]
-full = "--full" in sys.argv or (args and int(args[0]) >= 20_000)
+args = [a for a in sys.argv[1:] if a not in ("--full", "--lego")]
+lego = "--lego" in sys.argv
+full = lego or "--full" in sys.argv or (args and int(args[0]) >= 20_000)
 # --full alone means the config-4 analogue: the 30k schedule (densify to
 # 15k, opacity resets every 3k) is meaningless truncated at the 10k default.
 iters = int(args[0]) if args else (30_000 if full else 10_000)
 out_path = args[1] if len(args) > 1 else "/tmp/train_long.json"
-size = 256
+size = 800 if lego else 256
 # TRAIN_ENTRY_DTYPE=bf16 measures mixed-precision training convergence
 # (packed bf16-pair entry rows + 6-operand grad-row reduce); default f32
 # is the reference-parity evidence configuration.
 import os
 
 opts = RenderOptions(
-    tile_entry_capacity=1 << 17,
+    tile_entry_capacity=1 << (18 if lego else 17),
     block_size=256,
     entry_dtype=os.environ.get("TRAIN_ENTRY_DTYPE", "f32"),
 )
 rng = np.random.default_rng(0)
 
-p = 500
+p = 4_000 if lego else 500
 truth = GaussianScene.from_points(
     Points(rng.random((p, 3)).astype(np.float32), rng.standard_normal((p, 3)) * 0.7)
 )
-truth = truth.set_scalings(jnp.asarray(0.03 + 0.08 * rng.random((p, 3)), jnp.float32))
+gt_scale = (0.015 + 0.04 * rng.random((p, 3))) if lego else (
+    0.03 + 0.08 * rng.random((p, 3))
+)
+truth = truth.set_scalings(jnp.asarray(gt_scale, jnp.float32))
 truth = truth.set_opacities(jnp.asarray(0.3 + 0.6 * rng.random((p, 1)), jnp.float32))
 
-views = []
-for i in range(10):
-    a = 2 * np.pi * i / 10
+
+def orbit_view(i, n, elev, vid):
+    """Camera at distance 4 on an elevation-`elev` ring, looking at the
+    origin — same extrinsic convention as the toy orbit below (world->cam
+    rotation R, camera center R.T @ [0,0,-4], translation [0,0,4])."""
+    a = 2 * np.pi * i / n
     c, s = np.cos(a), np.sin(a)
-    rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
-    pos = np.array([4 * s, 0.0, -4 * c])
-    views.append(
-        View(
-            field_of_view_x=1.0, field_of_view_y=1.0,
-            image_height=size, image_width=size, view_id=i,
-            view_position=pos,
-            view_transform=View.transform(rot.T, -rot @ pos),
-        )
+    rot_y = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    ce, se = np.cos(elev), np.sin(elev)
+    rot_x = np.array([[1, 0, 0], [0, ce, -se], [0, se, ce]])
+    rot = rot_x @ rot_y  # world->cam
+    pos = rot.T @ np.array([0.0, 0.0, -4.0])
+    fov = 0.8 if lego else 1.0
+    return View(
+        field_of_view_x=fov, field_of_view_y=fov,
+        image_height=size, image_width=size, view_id=vid,
+        view_position=pos,
+        view_transform=View.transform(rot.T, np.array([0.0, 0.0, 4.0])),
     )
+
+
+views = []
+if lego:
+    # 16 views: two elevation rings of 8 (the multi-ring coverage of a
+    # lego-style capture), orbiting the unit-box scene center.
+    for i in range(8):
+        views.append(orbit_view(i, 8, 0.0, len(views)))
+    for i in range(8):
+        views.append(orbit_view(i, 8, 0.45, len(views)))
+else:
+    for i in range(10):
+        a = 2 * np.pi * i / 10
+        c, s = np.cos(a), np.sin(a)
+        rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        pos = np.array([4 * s, 0.0, -4 * c])
+        views.append(
+            View(
+                field_of_view_x=1.0, field_of_view_y=1.0,
+                image_height=size, image_width=size, view_id=i,
+                view_position=pos,
+                view_transform=View.transform(rot.T, -rot @ pos),
+            )
+        )
 targets = [render(truth, v, opts).colors_rgb_2d for v in views]
 print("targets rendered", flush=True)
 
-q = 150
-start = GaussianScene.from_points(
-    Points(rng.random((q, 3)).astype(np.float32), rng.standard_normal((q, 3)) * 0.7)
-)
+if lego:
+    # SfM-like init: a noisy 2,000-point subsample of the true geometry
+    # (what COLMAP's sparse cloud gives a real lego fit).
+    q = 2_000
+    sel = rng.choice(p, q, replace=True)
+    pos0 = np.asarray(truth.positions)[sel] + rng.standard_normal((q, 3)) * 0.02
+    start = GaussianScene.from_points(
+        Points(pos0.astype(np.float32), rng.random((q, 3)).astype(np.float32))
+    )
+else:
+    q = 150
+    start = GaussianScene.from_points(
+        Points(rng.random((q, 3)).astype(np.float32), rng.standard_normal((q, 3)) * 0.7)
+    )
 
 if full:
     # Full 3DGS schedule (TrainConfig defaults): densify [500, 15000) at
