@@ -158,6 +158,61 @@ def _make_inputs(point_count, width, height, scale_mult=1.0):
     return scene, Camera.from_view(view)
 
 
+def _calibrated_capacity(point_count, width, height, scale_mult, block_size,
+                         margin=1.0625):
+    """Right-size the entry capacity for a tier by counting its true
+    (tile, point) entry total — the serving recipe
+    (gausplat_tpu.calibrate_options). The reference sizes its buffers to
+    the EXACT per-frame total via a host readback every frame
+    (rank/mod.rs:61-63); a calibrated static capacity with a 6.25% margin
+    is strictly more conservative while keeping the pipeline sync-free.
+    Every entry-proportional stage pays for capacity, not entries, so the
+    old fixed 2.36M capacity (74% occupancy at the light tier, 62% heavy)
+    was pure slack — see PERF.md round-5.
+    """
+    import jax
+    import jax.numpy as jnp
+    from gausplat_tpu.ops.projection import project_gaussians
+
+    scene, camera = _make_inputs(point_count, width, height, scale_mult)
+    tcx, tcy = -(-width // 16), -(-height // 16)
+
+    @jax.jit
+    def count(csh, op, pos, rot, scal):
+        proj = project_gaussians(
+            csh, pos, rot, scal, camera, sh_degree=3,
+            tile_count_x=tcx, tile_count_y=tcy,
+            opacities=op, tight_culling=True,
+        )
+        return proj.tile_counts.astype(jnp.int32).sum()
+
+    total = int(
+        count(scene.colors_sh, scene.opacities, scene.positions,
+              scene.rotations, scene.scalings)
+    )
+    cap = int(total * margin)
+    cap = (cap + block_size - 1) // block_size * block_size
+    _progress(
+        f"calibrated capacity: {total} entries -> cap {cap} "
+        f"({total / cap:.1%} occupancy)"
+    )
+    return cap
+
+
+def _resolve_capacity(env_key, default_fixed, point_count, width, height,
+                      scale_mult, block_size):
+    raw = os.environ.get(env_key, "calibrated")
+    if raw != "calibrated":
+        return int(raw)
+    try:
+        return _calibrated_capacity(
+            point_count, width, height, scale_mult, block_size
+        )
+    except Exception as e:  # calibration must never kill the bench
+        _progress(f"capacity calibration failed ({e!r}); fixed {default_fixed}")
+        return default_fixed
+
+
 def _measure_tier(
     jax, point_count, width, height, scale_mult, capacity, block_size,
     entry_dtype, iters, forward_only=False,
@@ -222,6 +277,11 @@ def _measure_tier(
     acc, total, visible = go(scene.positions, jnp.int32(1))
     total, visible = int(total), int(visible)
     _progress(f"compiled; entries={total} visible={visible}; warming n={iters}")
+    if total > capacity:
+        raise RuntimeError(
+            f"entry overflow: {total} entries > capacity {capacity} — the "
+            "tier would silently truncate and its ms/frame would be a lie"
+        )
     float(go(scene.positions, jnp.int32(iters))[0])
     # Amortized timing: (n-run - 1-run) / (n - 1) removes dispatch latency.
     t0 = time.time()
@@ -280,12 +340,17 @@ def main():
     point_count = int(os.environ.get("BENCH_POINTS", 1_000_000))
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
-    # Capacity sized as the adaptive Trainer would (watermark / 0.85 grow
-    # threshold: ~1.96M entries -> 2.25M budget, 83% steady-state usage);
-    # block 128 = the VPU lane width, the boundary-window sweet spot for
-    # this workload's ~240-entry mean tile segment.
-    capacity = int(os.environ.get("BENCH_CAPACITY", 2_359_296))
+    # Capacity: calibrated per tier by default (serving recipe — measure
+    # the true entry total, apply a 6.25% margin; the reference's own
+    # sizing is the EXACT per-frame total via readback). Override with
+    # BENCH_CAPACITY=<int> for fixed-capacity A/Bs. Block 128 = the VPU
+    # lane width, the boundary-window sweet spot for this workload's
+    # ~240-entry mean tile segment.
     block_size = int(os.environ.get("BENCH_BLOCK", 128))
+    capacity = _resolve_capacity(
+        "BENCH_CAPACITY", 2_359_296, point_count, width, height,
+        float(os.environ.get("BENCH_SCALE", 1.0)), block_size,
+    )
     entry_dtype = os.environ.get("BENCH_ENTRY_DTYPE", "f32")
     scale_mult = float(os.environ.get("BENCH_SCALE", 1.0))
     # Amortized timing needs >= 2 chained steps ((n-run - 1-run) / (n - 1)).
@@ -327,15 +392,29 @@ def main():
     # on-chip snapshot as an explicit `<tier>_cached` field (dropped the
     # moment the fresh measurement lands), so the one JSON line always
     # carries the full tier picture with honest provenance.
-    if LAST_TPU_SNAPSHOT.exists() and not int(os.environ.get("BENCH_SKIP_PROBE", "0")):
+    # Config overrides (GAUSPLAT_*/BENCH_* flags) mark an A/B run: neither
+    # pre-fill cached default-config tiers next to overridden-config fresh
+    # ones (round-4 advisor #2) nor refresh the fallback snapshot below.
+    overrides = [
+        k for k in os.environ
+        if k.startswith("GAUSPLAT_")
+        or (k.startswith("BENCH_") and k not in ("BENCH_BUDGET_S", "BENCH_SKIP_PROBE"))
+    ]
+    if (
+        LAST_TPU_SNAPSHOT.exists()
+        and not overrides
+        and not int(os.environ.get("BENCH_SKIP_PROBE", "0"))
+    ):
         try:
             _prev = json.loads(LAST_TPU_SNAPSHOT.read_text())
+            _prev_stamps = _prev.get("tier_measured_at", {})
             for key in ("ms_heavy", "heavy_entries_per_visible",
                         "ms_bf16", "ms_forward"):
                 if key in _prev:
                     RESULT[key + "_cached"] = _prev[key]
-            if "measured_at" in _prev:
-                RESULT["cached_tiers_from"] = _prev["measured_at"]
+                    stamp = _prev_stamps.get(key, _prev.get("measured_at"))
+                    if stamp:
+                        RESULT.setdefault("cached_tiers_from", {})[key] = stamp
         except (ValueError, OSError):
             pass
 
@@ -347,11 +426,15 @@ def main():
         if "heavy" in tiers and _have_time(0.5):
             # Garden-class heavy expansion (~7-8 entries/visible): the
             # honest real-scene load tier (VERDICT round-2 Weak #3).
+            heavy_scale = float(os.environ.get("BENCH_HEAVY_SCALE", 3.5))
+            heavy_block = int(os.environ.get("BENCH_HEAVY_BLOCK", 256))
             ms_heavy, hstats = _measure_tier(
-                jax, point_count, width, height,
-                float(os.environ.get("BENCH_HEAVY_SCALE", 3.5)),
-                int(os.environ.get("BENCH_HEAVY_CAPACITY", 8_388_608)),
-                int(os.environ.get("BENCH_HEAVY_BLOCK", 256)),
+                jax, point_count, width, height, heavy_scale,
+                _resolve_capacity(
+                    "BENCH_HEAVY_CAPACITY", 8_388_608, point_count, width,
+                    height, heavy_scale, heavy_block,
+                ),
+                heavy_block,
                 "bf16", iters,
             )
             _fresh("ms_heavy", round(ms_heavy, 3))
@@ -379,37 +462,35 @@ def main():
     # run: the A/B driver exports GAUSPLAT_*/BENCH_* flags and often runs
     # while a background fit loads the chip — one such run overwrote the
     # snapshot with a 17x-inflated number in round 3.
-    overrides = [
-        k for k in os.environ
-        if k.startswith("GAUSPLAT_")
-        or (k.startswith("BENCH_") and k not in ("BENCH_BUDGET_S", "BENCH_SKIP_PROBE"))
-    ]
     if jax.devices()[0].platform == "tpu" and not overrides:
         # Merge over the previous snapshot: a budget-truncated run (e.g. the
         # r03 driver capture got only primary+forward) must not drop the
         # secondary-tier fields (ms_bf16 / ms_heavy / ...) the prior
         # snapshot carried — the stale fallback should always report the
-        # fullest tier set measured at default config.
-        snap = {}
+        # fullest tier set measured at default config. Each tier keeps its
+        # own measurement timestamp in `tier_measured_at` (round-4 advisor
+        # #1: re-stamping merged-in tiers with the current time misreported
+        # when they were actually measured).
+        now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        snap, stamps = {}, {}
         if LAST_TPU_SNAPSHOT.exists():
             try:
                 prev = json.loads(LAST_TPU_SNAPSHOT.read_text())
-                snap = {
-                    k: v
-                    for k, v in prev.items()
-                    if k in ("ms_bf16", "ms_forward", "ms_heavy",
-                             "heavy_entries_per_visible")
-                }
+                prev_stamps = prev.get("tier_measured_at", {})
+                for k in ("ms_bf16", "ms_forward", "ms_heavy",
+                          "heavy_entries_per_visible"):
+                    if k in prev:
+                        snap[k] = prev[k]
+                        stamps[k] = prev_stamps.get(k, prev.get("measured_at"))
             except (ValueError, OSError):
                 pass
-        snap.update(
-            {
-                k: v
-                for k, v in RESULT.items()
-                if not k.endswith("_cached") and k != "cached_tiers_from"
-            }
-        )
-        snap["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        for k, v in RESULT.items():
+            if not k.endswith("_cached") and k != "cached_tiers_from":
+                snap[k] = v
+                if k.startswith(("ms_", "value", "heavy_")):
+                    stamps[k] = now
+        snap["tier_measured_at"] = stamps
+        snap["measured_at"] = now
         LAST_TPU_SNAPSHOT.write_text(json.dumps(snap) + "\n")
     elif overrides:
         _progress(f"snapshot not refreshed (env overrides: {overrides})")

@@ -10,7 +10,14 @@ training loop with densification, and multi-chip rendering via
 
 from . import constants, errors, ops, parallel, scene, train, utils
 from .constants import SH_COUNT_MAX, SH_DEGREE_MAX
-from .render.pipeline import render, render_views, RenderOptions, RenderOutput
+from .render.pipeline import (
+    calibrate_options,
+    count_tile_entries,
+    render,
+    render_views,
+    RenderOptions,
+    RenderOutput,
+)
 from .render.view import View, Views
 from .scene.gaussian_3d import GaussianScene
 from .scene.point import Points
@@ -33,6 +40,8 @@ __all__ = [
     "errors",
     "ops",
     "parallel",
+    "calibrate_options",
+    "count_tile_entries",
     "render",
     "render_views",
     "scene",

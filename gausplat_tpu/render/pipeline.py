@@ -449,6 +449,73 @@ def _make_render_views_fn(mode, *cfg):
     return jax.jit(mapped)
 
 
+def count_tile_entries(
+    scene: GaussianScene,
+    view: View,
+    options: RenderOptions = RenderOptions(),
+) -> int:
+    """True (tile, point) entry count for one view — the reference's scan
+    total T (the value it reads back at rank/mod.rs:61-63), without running
+    expansion or rasterization. One tiny jitted program (projection +
+    count-sum); used by :func:`calibrate_options`."""
+    tile_count_x = -(-view.image_width // TILE_SIZE_X)
+    tile_count_y = -(-view.image_height // TILE_SIZE_Y)
+
+    @functools.partial(jax.jit, static_argnums=(5, 6, 7))
+    def total(csh, op, pos, rot, scal, shd, tcx, tcy):
+        proj = project_gaussians(
+            csh, pos, rot, scal, Camera.from_view(view),
+            sh_degree=shd, tile_count_x=tcx, tile_count_y=tcy,
+            opacities=op, tight_culling=options.tight_culling,
+        )
+        return proj.tile_counts.astype(jnp.int32).sum()
+
+    return int(
+        total(
+            scene.colors_sh, scene.opacities, scene.positions,
+            scene.rotations, scene.scalings,
+            options.colors_sh_degree_max, tile_count_x, tile_count_y,
+        )
+    )
+
+
+def calibrate_options(
+    scene: GaussianScene,
+    views: Sequence[View] | View,
+    options: RenderOptions = RenderOptions(),
+    *,
+    margin: float = 1.0625,
+) -> RenderOptions:
+    """Right-size ``tile_entry_capacity`` for a scene + view set.
+
+    The reference sizes its entry buffers to the *exact* per-frame total by
+    reading the scan total back to the host every frame
+    (rank/mod.rs:61-63) — 100% occupancy, one device sync per render. The
+    TPU pipeline instead compiles one static capacity; the default serving
+    recipe is to calibrate it once against representative views and keep a
+    safety ``margin`` (so the static buffer is a strict superset of what
+    the reference would have allocated for those frames), then watch
+    ``RenderOutput.tile_point_total`` for overflow (> capacity means
+    truncation: re-calibrate, as the adaptive Trainer does automatically
+    via its 0.85-watermark growth policy).
+
+    Every entry-proportional stage (expansion, sort, stream gather,
+    rasterization step list, gradient reduction) pays for *capacity*, not
+    true entries, so slack is pure cost: measured on-chip, shrinking the
+    bench headline's 74%-occupancy capacity to a calibrated one cut the
+    frame by a double-digit ms figure (PERF.md round-5 section).
+    """
+    if isinstance(views, View):
+        views = [views]
+    if not views:
+        raise ValueError("calibrate_options needs at least one view")
+    worst = max(count_tile_entries(scene, v, options) for v in views)
+    b = options.block_size
+    cap = max(int(worst * margin), 1 << 12)
+    cap = (cap + b - 1) // b * b
+    return dataclasses.replace(options, tile_entry_capacity=cap)
+
+
 def render(
     scene: GaussianScene,
     view: View,

@@ -170,6 +170,18 @@ def main():
         if want is None or name in want:
             results[name] = round(timed(name, fn, x), 2)
 
+    def live(arr, x):
+        """Make ``arr`` loop-iteration-dependent without changing its value.
+
+        The original ``+ (x % 1)`` liveness trick CONSTANT-FOLDS (int % 1
+        == 0 statically), so XLA hoisted those variants out of the timing
+        loop — scatter_spans/scatter_only/keymath/steplist/sort2 measured
+        ~0 in the first capture. A select on a runtime predicate of the
+        perturbed input cannot fold or hoist.
+        """
+        pred = x.ravel()[0].astype(jnp.float32) > jnp.float32(-1e18)
+        return jnp.where(pred, arr, jnp.zeros_like(arr))
+
     # --- expand pieces ---------------------------------------------------
 
     def expand_full(d, a):
@@ -182,16 +194,16 @@ def main():
     run("expand_full", expand_full, aux["depths"])
 
     def scatter_spans(d, a):
-        off = a["offsets_inc"] + (d.astype(jnp.int32) % 1)  # keep d live
+        off = live(a["offsets_inc"], d)
         return spans_to_sources(off, C).sum()
 
     run("scatter_spans", scatter_spans, aux["depths"])
 
     def scatter_only(d, a):
-        off = a["offsets_inc"]
+        off = live(a["offsets_inc"], d)
         starts = jnp.concatenate([jnp.zeros((1,), off.dtype), off[:-1]])
         nonempty = off > starts
-        ids = jnp.arange(P, dtype=jnp.int32) + (d.astype(jnp.int32)[:P] % 1)
+        ids = jnp.arange(P, dtype=jnp.int32)
         scat = jnp.zeros((C,), jnp.int32)
         scat = scat.at[jnp.where(nonempty, starts, C)].max(ids + 1, mode="drop")
         return scat.sum()
@@ -221,7 +233,7 @@ def main():
 
     def keymath(d, a):
         # The arithmetic downstream of the gather, on stand-in looked rows.
-        looked0 = a["keys_rand"]
+        looked0 = live(a["keys_rand"], d)
         a_w = looked0 | jnp.int32(1)
         off = (a["keys_rand"] >> 8) % jnp.int32(C)
         entry_ids = jnp.arange(C, dtype=jnp.int32)
@@ -229,7 +241,7 @@ def main():
         width = jnp.maximum(a_w & jnp.int32(0xFF), 1)
         y_min = a_w >> jnp.int32(20)
         x_min = a_w & jnp.int32(0x3FF)
-        local = entry_ids - off + d.astype(jnp.int32)[:1] % 1
+        local = entry_ids - off
         q = jnp.floor(
             local.astype(jnp.float32) / width.astype(jnp.float32)
         ).astype(jnp.int32)
@@ -283,7 +295,8 @@ def main():
 
     def steplist(g, a):
         stream = build_entry_stream(
-            g[:, : 2], a["sorted_pids"][:256], a["tile_ranges"], block_size=128
+            g[:, : 2], a["sorted_pids"][:256], live(a["tile_ranges"], g),
+            block_size=128,
         )
         return stream.step_tile.sum() + stream.step_block.sum()
 
@@ -305,11 +318,36 @@ def main():
     run("sort10_data", sort10_data, pdC)
 
     def sort2(g, a):
-        out = jax.lax.sort((a["keys_rand"], a["sorted_pids"]), num_keys=1,
-                           is_stable=True)
+        out = jax.lax.sort((live(a["keys_rand"], g), a["sorted_pids"]),
+                           num_keys=1, is_stable=True)
         return out[1].sum() + g[0, 0]
 
     run("sort2", sort2, pdC)
+
+    # --- layout alternatives (round-5) ---------------------------------
+
+    def sgather_t(g, a):
+        # Point-major table [P+1, 9]: each entry's 9 values are contiguous
+        # in HBM; one gather of [C] slices then a [C, 9] -> [9, C] transpose.
+        gt = g.T  # materialized once per step (counted: it is part of the
+        # alternative's real cost — pack_point_data would emit this layout)
+        return gt[a["sorted_pids"]].T.sum()
+
+    run("sgatherT", sgather_t, pd)
+
+    def pgather9(g, a):
+        # The reduce's span-end placement gather: 9 rows at P monotone
+        # (span-end) indices from [*, C]-wide scanned rows.
+        csC = jnp.broadcast_to(g[:, :1], (9, C)) + a["keys_rand"].astype(
+            jnp.float32
+        )
+        hi_idx = jnp.minimum(a["offsets_inc"], C - 1)
+        hi = jnp.concatenate(
+            [jnp.take(csC[:8], hi_idx, axis=1), jnp.take(csC[8], hi_idx)[None]]
+        )
+        return hi.sum()
+
+    run("pgather9", pgather9, pd)
 
     print(json.dumps({"workload": {"C": C, "P": P, "entries": total_entries},
                       "ms": results}))

@@ -145,7 +145,11 @@ if full:
         render=opts,
         densify_from=500,
         densify_until=15_000,
-        densify_interval=300,
+        # Each densify changes the point count -> a full recompile through
+        # the tunnel; at lego scale those compiles dominate wall time, so
+        # the cadence is tunable (300 = the toy-run default; 500 at lego
+        # still gives ~29 growth events across the densify window).
+        densify_interval=int(os.environ.get("TRAIN_DENSIFY_INTERVAL", 300)),
         sh_warmup_interval=1_000,
         opacity_reset_interval=3_000,
         optimizer=OptimizerConfig(scene_extent=extent),
@@ -165,7 +169,18 @@ tr = Trainer(start, size, size, cfg)
 curve = []
 chunk = 200
 step = 0
+# TRAIN_DEADLINE_S: stop cleanly after this many wall seconds (the curve
+# so far is already on disk) — a fit must never outlive its session and
+# leave the chip loaded during a driver bench capture (round-3 poisoning).
+import time
+
+t_start = time.time()
+deadline_s = float(os.environ.get("TRAIN_DEADLINE_S", 0)) or None
 while step < iters:
+    if deadline_s and (time.time() - t_start) > deadline_s:
+        print(f"deadline {deadline_s}s reached at step {step}; stopping",
+              flush=True)
+        break
     k = min(chunk, iters - step)
     # Scanned fit: one device dispatch per sub-chunk (tunnel-RPC-proof).
     hist = tr.fit_scan(views, targets, k)

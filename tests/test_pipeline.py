@@ -337,3 +337,34 @@ def test_render_views_repeat_call_hits_cache():
     after = par_render._make_batched_render.cache_info()
     assert after.hits == before.hits + 1
     assert after.misses == before.misses
+
+
+@pytest.mark.quick
+def test_calibrate_options_rightsizes_capacity():
+    """calibrate_options: capacity = worst-view true entry total x margin,
+    block-aligned, and the calibrated render is truncation-free and
+    pixel-identical to a slack-capacity render (the serving recipe; the
+    reference's analogue is exact per-frame sizing via the rank readback,
+    rank/mod.rs:61-63)."""
+    from gausplat_tpu import calibrate_options, count_tile_entries
+
+    scene = _scene()
+    views = [_view(), _view(96, 64)]
+    totals = [count_tile_entries(scene, v, OPTS) for v in views]
+    assert min(totals) > 0 and totals[0] != totals[1]
+
+    cal = calibrate_options(scene, views, OPTS, margin=1.0625)
+    assert cal.tile_entry_capacity % OPTS.block_size == 0
+    assert cal.tile_entry_capacity >= max(totals)
+    # margin-sized above the worst view, up to the 2^12 floor clamp
+    assert cal.tile_entry_capacity <= max(
+        int(max(totals) * 1.0625) + OPTS.block_size, 1 << 12
+    )
+
+    for v, total in zip(views, totals):
+        out = render(scene, v, cal)
+        assert int(out.tile_point_total) == total  # no truncation
+        slack = render(scene, v, OPTS)
+        np.testing.assert_array_equal(
+            np.asarray(out.colors_rgb_2d), np.asarray(slack.colors_rgb_2d)
+        )
