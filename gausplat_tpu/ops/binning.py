@@ -235,6 +235,8 @@ def bin_gaussians(
     tile_count_x: int,
     tile_count_y: int,
     capacity: int,
+    fused_expand: bool = False,
+    interpret: bool = False,
 ) -> BinningOutput:
     """Full binning pipeline: expand -> sort -> segment.
 
@@ -245,15 +247,32 @@ def bin_gaussians(
     order) for a scatter-free, deterministic per-point reduction — see
     ``BinningOutput.point_indices``.
     """
-    keys, src, offsets_inc, total = make_point_orders(
-        depths,
-        tile_x_max,
-        tile_x_min,
-        tile_y_min,
-        tile_counts,
-        tile_count_x=tile_count_x,
-        capacity=capacity,
-    )
+    if fused_expand and capacity < (1 << 24):
+        # Pallas windowed expansion (ops/expand.py): bit-identical outputs,
+        # no [C]-sized gather — on-chip the XLA pack gather alone costs
+        # 10.2 ms at C=2.36M (scripts/prof_entry.py round-5).
+        from .expand import fused_point_orders
+
+        keys, src, offsets_inc, total = fused_point_orders(
+            depths,
+            tile_x_max,
+            tile_x_min,
+            tile_y_min,
+            tile_counts,
+            tile_count_x=tile_count_x,
+            capacity=capacity,
+            interpret=interpret,
+        )
+    else:
+        keys, src, offsets_inc, total = make_point_orders(
+            depths,
+            tile_x_max,
+            tile_x_min,
+            tile_y_min,
+            tile_counts,
+            tile_count_x=tile_count_x,
+            capacity=capacity,
+        )
     sorted_keys, sorted_points = sort_entries(keys, src)
     ranges = tile_ranges_from_keys(
         sorted_keys, total, num_tiles=tile_count_x * tile_count_y

@@ -64,6 +64,13 @@ from ..ops.rasterize import (
 from ..scene.gaussian_3d import GaussianScene
 from .view import View
 
+import os as _os
+
+#: Fused Pallas tile-key expansion on the TPU path (ops/expand.py).
+#: Opt-out knob for A/Bs; the XLA gather formulation remains the
+#: CPU/xla-backend path either way.
+FUSED_EXPAND = int(_os.environ.get("GAUSPLAT_FUSED_EXPAND", "1"))
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderOptions:
@@ -242,6 +249,11 @@ def _build_render_fn(
                 tile_count_x=tile_count_x,
                 tile_count_y=tile_count_y,
                 capacity=capacity,
+                # Pallas windowed expansion on the TPU path (bit-identical;
+                # see ops/expand.py). GAUSPLAT_FUSED_EXPAND=0 restores the
+                # XLA gather formulation for A/Bs.
+                fused_expand=FUSED_EXPAND and backend == "pallas",
+                interpret=interpret,
             )
         with jax.named_scope("gausplat.entry_stream"):
             opac_outer = jax.nn.sigmoid(opacities[:, 0])
