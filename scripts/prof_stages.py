@@ -2,7 +2,8 @@
 
 Chained honest timing (positions perturbed per step). Env knobs:
 PROF_POINTS, PROF_CAP, PROF_BLOCK, PROF_PACKED=1 (bf16 entry rows),
-PROF_STAGE (run only through stage k), PROF_ITERS.
+PROF_STAGE (run only through stage k), PROF_ITERS, PROF_FUSED=1 (the
+fused Pallas expansion instead of the XLA gather formulation).
 """
 import os, sys, time
 
@@ -27,6 +28,9 @@ B = int(os.environ.get("PROF_BLOCK", 256))
 PACKED = os.environ.get("PROF_PACKED", "0") == "1"
 # Interpret-mode Pallas (CPU smoke runs only; timings are meaningless).
 INTERPRET = os.environ.get("PROF_INTERPRET", "0") == "1"
+# PROF_FUSED=1: profile the fused Pallas expansion (ops/expand.py, the
+# round-5 pallas-backend default) instead of the XLA gather formulation.
+FUSED = os.environ.get("PROF_FUSED", "0") == "1"
 W, H, TCX, TCY = 1920, 1080, 120, 68
 scene, cam = _make_inputs(P, W, H)
 gimg = jnp.zeros((TCY * TCX, 3, 256), jnp.float32)
@@ -39,9 +43,17 @@ def run(pos, i, stage):
         cam, sh_degree=3, tile_count_x=TCX, tile_count_y=TCY)
     acc = proj.depths.sum() + proj.color_r.sum() + proj.conic_xx.sum()
     if stage < 1: return acc
-    keys, src, offsets_inc, total = make_point_orders(
-        proj.depths, proj.tile_x_max, proj.tile_x_min, proj.tile_y_min,
-        proj.tile_counts, tile_count_x=TCX, capacity=CAP)
+    if FUSED:
+        from gausplat_tpu.ops.expand import fused_point_orders
+
+        keys, src, offsets_inc, total = fused_point_orders(
+            proj.depths, proj.tile_x_max, proj.tile_x_min, proj.tile_y_min,
+            proj.tile_counts, tile_count_x=TCX, capacity=CAP,
+            interpret=INTERPRET)
+    else:
+        keys, src, offsets_inc, total = make_point_orders(
+            proj.depths, proj.tile_x_max, proj.tile_x_min, proj.tile_y_min,
+            proj.tile_counts, tile_count_x=TCX, capacity=CAP)
     acc = acc + keys[-1].astype(jnp.float32) + src[-1].astype(jnp.float32)
     if stage < 2: return acc
     sk, sv = sort_entries(keys, src)
