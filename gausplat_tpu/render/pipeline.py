@@ -66,10 +66,15 @@ from .view import View
 
 import os as _os
 
-#: Fused Pallas tile-key expansion on the TPU path (ops/expand.py).
-#: Opt-out knob for A/Bs; the XLA gather formulation remains the
-#: CPU/xla-backend path either way.
-FUSED_EXPAND = int(_os.environ.get("GAUSPLAT_FUSED_EXPAND", "1"))
+#: Fused Pallas tile-key expansion (ops/expand.py) — opt-in, default OFF.
+#: REFUTED as the default on this chip class (PERF_AB_r05.jsonl): the
+#: chain A/B is a wash at the light tier (122.99 fused vs 122.72 gather)
+#: and 2.6% slower at the heavy tier (222.75 vs 217.01) — the isolated
+#: 10.2 ms pack-gather saving does not survive in-chain, where XLA
+#: overlaps the expand with neighboring stages. Kept (bit-identical,
+#: tested) for re-evaluation on TPU generations with a different
+#: gather/MXU balance, like GROUP_SKIP.
+FUSED_EXPAND = int(_os.environ.get("GAUSPLAT_FUSED_EXPAND", "0"))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -249,9 +254,8 @@ def _build_render_fn(
                 tile_count_x=tile_count_x,
                 tile_count_y=tile_count_y,
                 capacity=capacity,
-                # Pallas windowed expansion on the TPU path (bit-identical;
-                # see ops/expand.py). GAUSPLAT_FUSED_EXPAND=0 restores the
-                # XLA gather formulation for A/Bs.
+                # Opt-in Pallas windowed expansion (bit-identical; see
+                # ops/expand.py and the FUSED_EXPAND refutation note).
                 fused_expand=FUSED_EXPAND and backend == "pallas",
                 interpret=interpret,
             )

@@ -371,30 +371,36 @@ def test_calibrate_options_rightsizes_capacity():
 
 
 @pytest.mark.quick
-def test_pipeline_fused_expand_matches_xla_backend():
-    """Pipeline-level wiring of the fused Pallas expansion (the pallas-
-    backend default, GAUSPLAT_FUSED_EXPAND): a full interpret-mode pallas
-    render — which routes binning through ops/expand.fused_point_orders —
-    is pixel-identical to the xla backend's gather formulation."""
+def test_pipeline_fused_expand_matches_xla_backend(monkeypatch):
+    """Pipeline-level wiring of the fused Pallas expansion (the opt-in
+    GAUSPLAT_FUSED_EXPAND knob): a full interpret-mode pallas render —
+    which routes binning through ops/expand.fused_point_orders — is
+    pixel-identical to the xla backend's gather formulation."""
     from gausplat_tpu.render import pipeline as pl_mod
 
-    assert pl_mod.FUSED_EXPAND, "fused expansion should be the default"
-    scene = _scene(200, seed=3)
-    view = _view(96, 64)
-    pallas_opts = RenderOptions(
-        backend="pallas",
-        interpret=True,
-        tile_entry_capacity=2048,
-        block_size=128,
-    )
-    xla_opts = RenderOptions(
-        backend="xla", tile_entry_capacity=2048, block_size=128
-    )
-    got = render(scene, view, pallas_opts)
-    ref = render(scene, view, xla_opts)
-    assert int(got.tile_point_total) == int(ref.tile_point_total)
-    np.testing.assert_allclose(
-        np.asarray(got.colors_rgb_2d),
-        np.asarray(ref.colors_rgb_2d),
-        atol=1e-6,
-    )
+    monkeypatch.setattr(pl_mod, "FUSED_EXPAND", 1)
+    # The built-fn lru_cache is keyed on static cfg only; the fused flag
+    # is read at build time, so the flip needs a cache clear (both ways).
+    pl_mod._make_render_fn.cache_clear()
+    try:
+        scene = _scene(200, seed=3)
+        view = _view(96, 64)
+        pallas_opts = RenderOptions(
+            backend="pallas",
+            interpret=True,
+            tile_entry_capacity=2048,
+            block_size=128,
+        )
+        xla_opts = RenderOptions(
+            backend="xla", tile_entry_capacity=2048, block_size=128
+        )
+        got = render(scene, view, pallas_opts)
+        ref = render(scene, view, xla_opts)
+        assert int(got.tile_point_total) == int(ref.tile_point_total)
+        np.testing.assert_allclose(
+            np.asarray(got.colors_rgb_2d),
+            np.asarray(ref.colors_rgb_2d),
+            atol=1e-6,
+        )
+    finally:
+        pl_mod._make_render_fn.cache_clear()
